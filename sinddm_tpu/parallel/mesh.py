@@ -1,0 +1,59 @@
+"""Device mesh and sharding layout.
+
+The reference is strictly single-process single-GPU (SURVEY §2.4: no
+torch.distributed anywhere); scaling is a new, first-class subsystem here.
+The design is the standard JAX recipe: one ``jax.sharding.Mesh`` with axes
+
+  * ``data``    — batch-parallelism for training and sampling. Gradients
+    are reduced by XLA-inserted all-reduces over ICI when the loss is
+    jitted with batch-sharded inputs and replicated params.
+  * ``spatial`` — optional sharding of the image H axis for very large
+    ``--scale_mul`` canvases. The denoiser is fully convolutional with a
+    35-px receptive field; GSPMD partitions the convolutions spatially and
+    inserts the halo exchanges automatically (the image analog of
+    sequence/context parallelism).
+
+Multi-host: the same mesh spans DCN by constructing it over
+``jax.devices()`` of all processes; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    spatial: int = 1,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % spatial != 0:
+        raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    grid = np.asarray(devices).reshape(n // spatial, spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    """Sharding for [B, H, W, C] image batches: B over data, H over spatial."""
+    if spatial:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+    return NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    return jax.device_put(params, replicated_sharding(mesh))
