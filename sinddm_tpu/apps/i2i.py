@@ -1,0 +1,110 @@
+"""Image-to-image applications: harmonization and style transfer.
+
+Reference: ``MultiscaleTrainer.image2image`` (``SinDDM/trainer.py:287-361``)
+and the mode wiring in ``main.py:294-320``:
+
+* style transfer: histogram-match the input to the finest training image,
+  inject at the finest scale with a small starting t (default 15),
+* harmonization: dilate+feather the user mask, inject the composite at the
+  finest scale with starting t (default 5), then re-composite
+  ``mask * sample + (1 - mask) * input`` at the end,
+* both zero the entry scale's gamma row (no reblur mixing at injection —
+  the reference mutates the buffer in place, ``trainer.py:326-327``; here
+  it is a functional ``Schedules.zero_gamma_row``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sinddm_tpu.apps.sampling import jit_sample_via_scale
+from sinddm_tpu.ops.image import dilate_mask, match_histograms
+from sinddm_tpu.pyramid import Pyramid
+from sinddm_tpu.schedules import Schedules
+
+
+def image2image(
+    model,
+    params,
+    sched: Schedules,
+    pyramid: Pyramid,
+    input_img: np.ndarray,
+    key: jax.Array,
+    *,
+    mode: str,  # 'harmonization' | 'style_transfer'
+    mask_img: Optional[np.ndarray] = None,
+    start_s: Optional[int] = None,
+    custom_t: Optional[Sequence[int]] = None,
+    batch_size: int = 16,
+    scale_mul: Tuple[float, float] = (1.0, 1.0),
+    use_hist: Optional[bool] = None,
+    omega: float = 0.0,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Run i2i; returns (final composite [B,H,W,3] in [0,1], per-scale raw).
+
+    ``input_img``: [H, W, 3] float in [-1, 1] (already auto_scale-capped by
+    :func:`sinddm_tpu.pyramid.load_external_image`). ``mask_img``: raw
+    [H, W, C] float in [0, 1] mask (harmonization only; resized+dilated
+    here, reference trainer.py:300-306).
+    """
+    n_scales = pyramid.n_scales
+    if start_s is None:
+        start_s = n_scales - 1  # reference main.py:299,306
+    if use_hist is None:
+        use_hist = mode == "style_transfer"
+    if custom_t is None:
+        custom_t = list(sched.num_timesteps_ideal)
+
+    h_in, w_in = input_img.shape[:2]
+
+    if mode == "harmonization" and mask_img is not None:
+        from PIL import Image
+
+        m = Image.fromarray(
+            np.clip(np.asarray(mask_img) * 255, 0, 255).astype(np.uint8)
+        ).resize((w_in, h_in), Image.LANCZOS)
+        mask = dilate_mask(np.asarray(m, np.float32) / 255.0, mode=mode)
+        mask = jnp.asarray(mask)[None]  # [1, H, W, 1]
+    else:
+        mask = jnp.asarray(1.0)
+
+    if use_hist:
+        # match to the scale_{start_s} training image (reference main.py:314)
+        ref_u8 = np.clip(
+            (np.asarray(pyramid.images[start_s]) + 1) * 0.5 * 255 + 0.5, 0, 255
+        ).astype(np.uint8)
+        in_u8 = np.clip((np.asarray(input_img) + 1) * 0.5 * 255 + 0.5, 0, 255).astype(
+            np.uint8
+        )
+        matched = match_histograms(in_u8, ref_u8)
+        input_img = (matched.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+    input_batch = jnp.broadcast_to(
+        jnp.asarray(input_img, jnp.float32)[None], (batch_size, h_in, w_in, 3)
+    )
+
+    # no reblur mixing at the entry scale (reference trainer.py:326-327)
+    sched_run = sched.zero_gamma_row(start_s) if start_s > 0 else sched
+
+    outputs: List[jnp.ndarray] = []
+    prev = input_batch
+    for i in range(n_scales - start_s):
+        s = i + start_s
+        ds_factor = pyramid.scale_factor ** (n_scales - s - 1)
+        cur_size = (int(h_in / ds_factor), int(w_in / ds_factor))
+        key, sub = jax.random.split(key)
+        x, _ = jit_sample_via_scale(
+            model, params, sched_run, prev, sub, cur_size, s,
+            int(custom_t[s]), 0, True, omega,
+        )
+        outputs.append(x)
+        prev = x
+
+    final01 = (outputs[-1] + 1.0) * 0.5
+    input01 = jnp.clip((input_batch + 1.0) * 0.5, 0.0, 1.0)
+    final = mask * final01 + (1.0 - mask) * input01
+    return final, outputs

@@ -1,0 +1,293 @@
+"""Command-line interface — flag surface and mode dispatch.
+
+Mirrors the reference ``main.py:11-327``: same flags, same defaults, same
+nine modes (train, sample, clip_content, clip_style_gen, clip_style_trans,
+clip_roi, roi, harmonization, style_transfer). Differences by design:
+
+* ROI boxes are accepted headlessly via ``--roi_bb`` / ``--target_roi``
+  flags ([y x h w]); the OpenCV selector pops up only with
+  ``--interactive`` (the reference always requires a GUI, main.py:241-243).
+* per-mode hardcoded hyperparameters of the reference (strength, llambda,
+  stop_guidance, ...) are exposed as flags with those values as defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("sinddm_tpu")
+    p.add_argument("--scope", default="forest", help="training scope name")
+    p.add_argument(
+        "--mode",
+        required=True,
+        choices=[
+            "train", "sample", "clip_content", "clip_style_gen",
+            "clip_style_trans", "clip_roi", "harmonization",
+            "style_transfer", "roi",
+        ],
+    )
+    # i2i
+    p.add_argument("--input_image", default="seascape_composite_dragon.png")
+    p.add_argument("--start_t_harm", default=5, type=int)
+    p.add_argument("--start_t_style", default=15, type=int)
+    p.add_argument("--harm_mask", default="seascape_mask_dragon.png")
+    # clip
+    p.add_argument("--clip_text", default="Fire in the Forest")
+    p.add_argument("--fill_factor", type=float)
+    p.add_argument("--strength", type=float)
+    p.add_argument("--roi_n_tar", default=1, type=int)
+    # dataset
+    p.add_argument("--dataset_folder", default="./datasets/forest/")
+    p.add_argument("--image_name", default="forest.jpeg")
+    p.add_argument("--results_folder", default="./results/")
+    # net
+    p.add_argument("--dim", default=160, type=int)
+    # diffusion
+    p.add_argument("--scale_factor", default=1.411, type=float)
+    # training
+    p.add_argument("--timesteps", default=100, type=int)
+    p.add_argument("--train_batch_size", default=32, type=int)
+    p.add_argument("--grad_accumulate", default=1, type=int)
+    p.add_argument("--train_num_steps", default=120001, type=int)
+    p.add_argument("--save_and_sample_every", default=10000, type=int)
+    p.add_argument("--avg_window", default=100, type=int)
+    p.add_argument("--train_lr", default=1e-3, type=float)
+    p.add_argument(
+        "--sched_k_milestones", nargs="+", default=[20, 40, 70, 80, 90, 110],
+        type=int,
+    )
+    p.add_argument("--load_milestone", default=0, type=int)
+    # sampling
+    p.add_argument("--sample_batch_size", default=16, type=int)
+    p.add_argument("--scale_mul", nargs="+", default=[1, 1], type=float)
+    p.add_argument("--sample_t_list", nargs="+", type=int)
+    # device
+    p.add_argument("--device_num", default=0, type=int)
+    # dev
+    p.add_argument("--sample_limited_t", action="store_true")
+    p.add_argument("--omega", default=0, type=float)
+    p.add_argument("--loss_factor", default=1, type=float)
+    # TPU-native extensions
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--steps_per_chunk", default=100, type=int,
+                   help="train steps fused per device call (0 = per-step)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--roi_bb", nargs="+", type=int, action="append",
+                   help="target ROI box 'y x h w' (repeatable; headless)")
+    p.add_argument("--target_roi", nargs=4, type=int,
+                   help="source ROI box 'y x h w' (headless)")
+    p.add_argument("--interactive", action="store_true",
+                   help="use the OpenCV ROI selector instead of flags")
+    p.add_argument("--clip_weights", default=None,
+                   help="path to CLIP ViT-B/32 weights (.pt or converted)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sinddm_tpu.apps.sampling import sample_scales
+    from sinddm_tpu.config import DiffusionConfig, TrainConfig
+    from sinddm_tpu.models import SinDDMNet
+    from sinddm_tpu.ops.image_io import save_image
+    from sinddm_tpu.pyramid import build_pyramid, load_external_image
+    from sinddm_tpu.schedules import make_schedules
+    from sinddm_tpu.training import MultiscaleTrainer
+
+    print(f"devices: {jax.devices()}")
+    scale_mul = (args.scale_mul[0], args.scale_mul[1])
+    results_folder = os.path.join(args.results_folder, args.scope)
+
+    pyramid = build_pyramid(
+        os.path.join(args.dataset_folder, args.image_name),
+        scale_factor=args.scale_factor,
+        auto_scale=50000,
+        save_to=args.dataset_folder if os.access(args.dataset_folder, os.W_OK) else None,
+    )
+    sched = make_schedules(
+        timesteps=args.timesteps,
+        scale_losses=pyramid.rescale_losses,
+        n_scales=pyramid.n_scales,
+        loss_factor=args.loss_factor,
+        train_full_t=True,
+    )
+    sample_t_list = (
+        list(sched.num_timesteps_ideal[1:])
+        if args.sample_t_list is None
+        else list(args.sample_t_list)
+    )
+
+    model = SinDDMNet(
+        dim=args.dim,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    train_cfg = TrainConfig(
+        train_batch_size=args.train_batch_size,
+        train_lr=args.train_lr,
+        train_num_steps=args.train_num_steps,
+        grad_accumulate=args.grad_accumulate,
+        save_and_sample_every=args.save_and_sample_every,
+        avg_window=args.avg_window,
+        sched_milestones=tuple(v * 1000 for v in args.sched_k_milestones),
+        steps_per_chunk=args.steps_per_chunk,
+    )
+    diff_cfg = DiffusionConfig(
+        timesteps=args.timesteps,
+        scale_factor=args.scale_factor,
+        loss_factor=args.loss_factor,
+        sample_limited_t=args.sample_limited_t,
+        omega=args.omega,
+    )
+    trainer = MultiscaleTrainer(
+        model, sched, pyramid, train_cfg, diff_cfg, results_folder,
+        seed=args.seed,
+    )
+    if args.load_milestone > 0:
+        trainer.load(args.load_milestone)
+
+    key = jax.random.PRNGKey(args.seed + 777)
+
+    def run_sample(desc: str, **kw):
+        outs = sample_scales(
+            model, trainer.state.ema_params, sched, pyramid.sizes_hw, key,
+            scale_factor=pyramid.scale_factor, n_scales=pyramid.n_scales,
+            batch_size=args.sample_batch_size, scale_mul=scale_mul,
+            custom_t_list=sample_t_list, sample_limited_t=args.sample_limited_t,
+            omega=args.omega, **kw,
+        )
+        final_dir = Path(results_folder) / "final_samples"
+        stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")
+        for i, out in enumerate(outs):
+            save_image(
+                np.asarray((out + 1) * 0.5),
+                final_dir / f"out_s{i}_{desc}_{stamp}.png",
+            )
+        unb = Path(results_folder) / f"final_samples_unbatched_{desc}_{stamp}"
+        for b in range(outs[-1].shape[0]):
+            save_image(np.asarray((outs[-1][b] + 1) * 0.5), unb / f"out_b{b}.png")
+        return outs
+
+    if args.mode == "train":
+
+        def on_milestone(milestone, tr):
+            from sinddm_tpu.apps.sampling import jit_sample_scale0
+
+            k = jax.random.PRNGKey(milestone)
+            h0, w0 = pyramid.sizes_hw[0]
+            x, _ = jit_sample_scale0(
+                model, tr.state.ema_params, sched, k, (16, h0, w0, 3), 0, 0,
+                args.omega,
+            )
+            save_image(
+                np.asarray((x + 1) * 0.5),
+                Path(results_folder) / f"sample-{milestone}.png",
+            )
+
+        trainer.train(
+            fused=args.steps_per_chunk > 0, on_milestone=on_milestone
+        )
+        run_sample("post_train", custom_sample=True)
+
+    elif args.mode == "sample":
+        run_sample("sample", custom_sample=True)
+
+    elif args.mode in ("harmonization", "style_transfer"):
+        from sinddm_tpu.apps.i2i import image2image
+
+        i2i_folder = os.path.join(args.dataset_folder, "i2i")
+        input_img = load_external_image(
+            os.path.join(i2i_folder, args.input_image), auto_scale=50000
+        )
+        mask_img = None
+        if args.mode == "harmonization":
+            from PIL import Image
+
+            mask_img = (
+                np.asarray(
+                    Image.open(os.path.join(i2i_folder, args.harm_mask)).convert(
+                        "RGB"
+                    ),
+                    np.float32,
+                )
+                / 255.0
+            )
+        start_t = (
+            args.start_t_harm if args.mode == "harmonization" else args.start_t_style
+        )
+        start_s = pyramid.n_scales - 1
+        custom_t = [0] * (pyramid.n_scales - 1) + [start_t]
+        final, _ = image2image(
+            model, trainer.state.ema_params, sched, pyramid, input_img, key,
+            mode=args.mode, mask_img=mask_img, start_s=start_s,
+            custom_t=custom_t, batch_size=args.sample_batch_size,
+            scale_mul=(1.0, 1.0), omega=args.omega,
+        )
+        out_dir = Path(results_folder) / "i2i_final_samples"
+        stem = args.input_image.rsplit(".", 1)[0]
+        save_image(np.asarray(final), out_dir / f"{stem}_i2i_{args.mode}.png")
+        for b in range(final.shape[0]):
+            save_image(
+                np.asarray(final[b]),
+                Path(results_folder) / f"unbatched_i2i_{stem}" / f"out_b{b}.png",
+            )
+        print(f"saved i2i results to {out_dir}")
+
+    elif args.mode == "roi":
+        from sinddm_tpu.apps.roi import roi_guided_sampling
+
+        if args.interactive:
+            import cv2
+
+            image_path = os.path.join(
+                args.dataset_folder,
+                f"scale_{pyramid.n_scales - 1}",
+                args.image_name.rsplit(".", 1)[0] + ".png",
+            )
+            img = cv2.imread(image_path)
+            r = cv2.selectROI(img)
+            target_roi = [r[1], r[0], r[3], r[2]]
+            roi_bb_list = []
+            for _ in range(args.roi_n_tar):
+                r = cv2.selectROI(img)
+                roi_bb_list.append([r[1], r[0], r[3], r[2]])
+        else:
+            assert args.target_roi is not None and args.roi_bb, (
+                "--roi mode needs --target_roi and --roi_bb (or --interactive)"
+            )
+            target_roi = list(args.target_roi)
+            roi_bb_list = [list(bb) for bb in args.roi_bb]
+
+        outs = roi_guided_sampling(
+            model, trainer.state.ema_params, sched, pyramid, key,
+            target_roi=target_roi, roi_bb_list=roi_bb_list,
+            custom_t_list=sample_t_list, batch_size=args.sample_batch_size,
+            scale_mul=scale_mul, omega=args.omega,
+        )
+        out_dir = Path(results_folder) / "final_samples"
+        save_image(np.asarray((outs[-1] + 1) * 0.5), out_dir / "roi_out.png")
+        print(f"saved ROI results to {out_dir}")
+
+    elif args.mode in ("clip_content", "clip_style_gen", "clip_style_trans", "clip_roi"):
+        from sinddm_tpu.apps.clip_apps import run_clip_mode
+
+        run_clip_mode(
+            args, model, trainer, sched, pyramid, key, sample_t_list,
+            scale_mul, results_folder,
+        )
+    else:
+        raise NotImplementedError(args.mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Differentiable homography warps and color ops (static output shapes).
+
+CLIP guidance backpropagates **through** the stochastic augmentations
+(reference ``SinDDM/models.py:387`` differentiates the loss built from 16
+torchvision-augmented views, ``text2live_util/clip_extractor.py:68-96``).
+Torchvision's crop/resize/affine/perspective are all projective maps, so
+the TPU-native design composes each view's whole spatial pipeline into ONE
+3x3 homography and performs a single bilinear gather with constant fill —
+static output shape (no data-dependent crop sizes), fully differentiable
+w.r.t. the image, batchable over views.
+
+Conventions: homogeneous coords (x, y, 1) in pixels, pixel centers at
+integer coordinates; matrices map OUTPUT pixel coords -> INPUT sample
+coords (the inverse map used by the sampler).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
+) -> jnp.ndarray:
+    """Sample img [H, W, C] at coords [..., 2] (x, y); constant fill outside."""
+    H, W = img.shape[0], img.shape[1]
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1, y1 = x0 + 1, y0 + 1
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        v = img[yi_c, xi_c]
+        return jnp.where(inb[..., None], v, jnp.asarray(fill, img.dtype))
+
+    out = (
+        tap(x0, y0) * (wx0 * wy0)[..., None]
+        + tap(x1, y0) * (wx1 * wy0)[..., None]
+        + tap(x0, y1) * (wx0 * wy1)[..., None]
+        + tap(x1, y1) * (wx1 * wy1)[..., None]
+    )
+    return out
+
+
+def warp_homography(
+    img: jnp.ndarray,
+    matrix: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Warp img [H, W, C] by the out->in homography; output [h, w, C]."""
+    h, w = out_hw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones_like(xs)
+    pts = jnp.stack([xs, ys, ones], axis=-1)  # [h, w, 3]
+    src = pts @ matrix.T
+    src = src[..., :2] / jnp.maximum(jnp.abs(src[..., 2:3]), 1e-8) * jnp.sign(
+        src[..., 2:3]
+    )
+    return bilinear_sample(img, src, fill=fill)
+
+
+# ---------------------------------------------------------------------------
+# matrix builders (all return out->in maps)
+# ---------------------------------------------------------------------------
+
+
+def crop_resize_matrix(
+    y0, x0, crop_h, crop_w, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Crop [y0, x0, crop_h, crop_w] then resize to out_hw (traced floats ok)."""
+    h, w = out_hw
+    sy = crop_h / h
+    sx = crop_w / w
+    # align centers like a bilinear resize with half-pixel centers:
+    # in = (out + 0.5) * scale - 0.5 + offset
+    return jnp.asarray(
+        [
+            [sx, 0.0, x0 + 0.5 * sx - 0.5],
+            [0.0, sy, y0 + 0.5 * sy - 0.5],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def hflip_matrix(w: int) -> jnp.ndarray:
+    return jnp.asarray(
+        [[-1.0, 0.0, float(w - 1)], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+
+
+def affine_matrix(
+    angle_deg, translate_xy, hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse map of a rotation about the image center plus translation
+    (torchvision RandomAffine semantics: rotate, then translate)."""
+    h, w = hw
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    a = -angle_deg * jnp.pi / 180.0  # inverse rotation
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    tx, ty = translate_xy
+    # out -> in: undo translate, then rotate about center by -angle
+    m = jnp.asarray(
+        [
+            [cos, -sin, cx - cos * (cx + tx) + sin * (cy + ty)],
+            [sin, cos, cy - sin * (cx + tx) - cos * (cy + ty)],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    return m
+
+
+def perspective_matrix(
+    startpoints: jnp.ndarray, endpoints: jnp.ndarray
+) -> jnp.ndarray:
+    """Homography H with H @ end ~ start (out->in), from 4 point pairs.
+
+    torchvision RandomPerspective: startpoints are the image corners,
+    endpoints the inward-perturbed corners; sampling output pixel p takes
+    the value at H(p).
+    """
+    # solve a @ coeffs = b  for the 8 dof (standard DLT rows)
+    rows = []
+    rhs = []
+    for i in range(4):
+        sx, sy = startpoints[i]
+        ex, ey = endpoints[i]
+        rows.append([ex, ey, 1, 0, 0, 0, -sx * ex, -sx * ey])
+        rhs.append(sx)
+        rows.append([0, 0, 0, ex, ey, 1, -sy * ex, -sy * ey])
+        rhs.append(sy)
+    a = jnp.asarray(rows, jnp.float32)
+    b = jnp.asarray(rhs, jnp.float32)
+    coeffs = jnp.linalg.solve(a, b)
+    return jnp.concatenate([coeffs, jnp.ones((1,))]).reshape(3, 3)
+
+
+# ---------------------------------------------------------------------------
+# color ops (differentiable; torchvision formulas)
+# ---------------------------------------------------------------------------
+
+_GRAY_W = jnp.asarray([0.2989, 0.587, 0.114])
+
+
+def rgb_to_grayscale(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x * _GRAY_W, axis=-1, keepdims=True)
+
+
+def adjust_brightness(x, f):
+    return jnp.clip(x * f, 0.0, 1.0)
+
+
+def adjust_contrast(x, f):
+    mean = jnp.mean(rgb_to_grayscale(x), axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip(mean + f * (x - mean), 0.0, 1.0)
+
+
+def adjust_saturation(x, f):
+    g = rgb_to_grayscale(x)
+    return jnp.clip(g + f * (x - g), 0.0, 1.0)
+
+
+def _rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-8), 0.0)
+    dc = jnp.maximum(deltac, 1e-8)
+    rc = (maxc - r) / dc
+    gc = (maxc - g) / dc
+    bc = (maxc - b) / dc
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(deltac > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(x, factor):
+    """Shift hue by factor in [-0.5, 0.5] (HSV round trip, a.e. differentiable)."""
+    h, s, v = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+    h = (h + factor) % 1.0
+    return _hsv_to_rgb(h, s, v)
