@@ -36,11 +36,11 @@ def jit_sample_scale0(
     def model_fn(x, t, sc):
         return model.apply({"params": params}, x, t, sc)
 
-    x, carry, _ = sample_scale0(
+    x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
     )
-    return x, carry
+    return x, carry, aux
 
 
 @functools.partial(
@@ -58,12 +58,12 @@ def jit_sample_via_scale(
     def model_fn(x, t, sc):
         return model.apply({"params": params}, x, t, sc)
 
-    x, carry, _ = sample_via_scale(
+    x, carry, aux = sample_via_scale(
         model_fn, sched, img_prev, key,
         s=s, total_t=total_t, t_min=t_min, reblurring=reblurring, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
     )
-    return x, carry
+    return x, carry, aux
 
 
 def via_scale_size(
@@ -115,6 +115,7 @@ def sample_scales(
     omega: float = 0.0,
     guidance_factory: Optional[Callable[[int, Any, Tuple[int, int]], Tuple[Any, Any]]] = None,
     carry_transform: Optional[Callable[[int, Any, Tuple[int, int]], Any]] = None,
+    collect_aux: Optional[List[Any]] = None,
 ) -> List[jnp.ndarray]:
     """Run the full pyramid; returns the list of per-scale outputs [B,H,W,3].
 
@@ -156,10 +157,12 @@ def sample_scales(
                 gfn = None
                 if guidance_factory is not None:
                     gfn, gcarry = guidance_factory(s, gcarry, shape[1:3])
-                x, gcarry = jit_sample_scale0(
+                x, gcarry, aux = jit_sample_scale0(
                     model, params, sched, sub, shape, s, t_min, omega,
                     guidance_fn=gfn, guidance_carry=gcarry,
                 )
+                if collect_aux is not None:
+                    collect_aux.append(aux)
             else:
                 # inject a start image at scale custom_scales[0]
                 # (reference trainer.py:263-266)
@@ -189,10 +192,12 @@ def sample_scales(
                 gcarry = carry_transform(s, gcarry, size_hw)
             if guidance_factory is not None:
                 gfn, gcarry = guidance_factory(s, gcarry, size_hw)
-            x, gcarry = jit_sample_via_scale(
+            x, gcarry, aux = jit_sample_via_scale(
                 model, params, sched, outputs[-1], sub, size_hw, s, total_t,
                 t_min, reblurring, omega,
                 guidance_fn=gfn, guidance_carry=gcarry,
             )
+            if collect_aux is not None:
+                collect_aux.append(aux)
         outputs.append(x)
     return outputs

@@ -1,0 +1,259 @@
+"""CLIP feature extraction for guidance: text templates, augmented views, loss.
+
+Re-design of the reference ``ClipExtractor``
+(``text2live_util/clip_extractor.py:22-147``) for TPU:
+
+* the 16-view augmentation pipeline (resize / random-crop / hflip /
+  affine / perspective / color-jitter / grayscale) is expressed as ONE
+  composed homography + color transform per view (see ``ops/warp.py``) —
+  static shapes, differentiable, vmapped over views and batch, instead of
+  torchvision's per-view Python loop,
+* all B x n_aug views go through the image encoder in a single batched
+  call (the reference encodes image-by-image "to avoid memory
+  limitations", ``clip_extractor.py:140``),
+* ``calculate_clip_loss`` keeps the reference's stochastic template
+  subset: n ~ U{1..N} templates drawn with replacement; implemented with
+  a fixed-size index draw + first-n masking so shapes stay static,
+* loss = 1.2 * (1 - mean_over_views cos(img_emb, text_emb)), summed over
+  images and selected templates, divided by the subset size
+  (``clip_extractor.py:18-19,134-147``).
+
+Known deviation: torchvision fills out-of-bounds pixels per stage
+(affine, then perspective) while the composed warp fills once against the
+original image bounds; the random distortions are small so the
+distributions are near-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sinddm_tpu.models.clip.model import CLIPModel, clip_normalize
+from sinddm_tpu.models.clip.tokenizer import tokenize
+from sinddm_tpu.ops import warp as W
+
+# text templates: reference text2live_util/util.py:73-122
+TEMPLATES_HR = (
+    "photo of {}.", "high quality photo of {}.", "a photo of {}.",
+    "the photo of {}.", "image of {}.", "an image of {}.",
+    "high quality image of {}.", "a high quality image of {}.", "the {}.",
+    "a {}.", "{}.", "{}", "{}!", "{}...",
+)
+TEMPLATES_LR = (
+    "photo of {}.", "low quality photo of {}.", "low resolution photo of {}.",
+    "low-res photo of {}.", "blurry photo of {}.", "pixelated photo of {}.",
+    "a photo of {}.", "the photo of {}.", "image of {}.", "an image of {}.",
+    "low quality image of {}.", "a low quality image of {}.",
+    "low resolution image of {}.", "a low resolution image of {}.",
+    "low-res image of {}.", "a low-res image of {}.", "blurry image of {}.",
+    "a blurry image of {}.", "pixelated image of {}.",
+    "a pixelated image of {}.", "the {}.", "a {}.", "{}.", "{}", "{}!",
+    "{}...",
+)
+
+
+def get_augmentations_template(flag: str = "hr") -> Tuple[str, ...]:
+    if flag == "hr":
+        return TEMPLATES_HR
+    if flag == "lr":
+        return TEMPLATES_LR
+    raise NotImplementedError(flag)
+
+
+def compose_text_with_templates(text: str, templates: Sequence[str]):
+    return [t.format(text) for t in templates]
+
+
+def resize_output_size(
+    h: int, w: int, target: int = 224, max_size: int = 320
+) -> Tuple[int, int]:
+    """torchvision T.Resize(target, max_size=...) output size."""
+    short, long = (h, w) if h <= w else (w, h)
+    new_short = target
+    new_long = int(target * long / short)
+    if new_long > max_size:
+        new_short = int(max_size * short / long)
+        new_long = max_size
+    nh, nw = (new_short, new_long) if h <= w else (new_long, new_short)
+    return nh, nw
+
+
+def _augs_matrix_and_color(
+    key: jax.Array, hw: Tuple[int, int], fill: float
+):
+    """Random draws for the shared aug pipeline of one view.
+
+    Returns (out->in homography over the view frame, color_fn).
+    Distribution parity with reference clip_extractor.py:41-64:
+    HFlip(0.5); Affine(+-15deg, translate +-0.1, p=0.8);
+    Perspective(0.4, p=0.5); ColorJitter(0.1 x4, p=0.7); Grayscale(0.15).
+    """
+    h, w = hw
+    keys = jax.random.split(key, 13)
+    eye = jnp.eye(3)
+
+    do_flip = jax.random.uniform(keys[0]) < 0.5
+    m_flip = jnp.where(do_flip, W.hflip_matrix(w), eye)
+
+    do_aff = jax.random.uniform(keys[1]) < 0.8
+    angle = jax.random.uniform(keys[2], minval=-15.0, maxval=15.0)
+    tx = jax.random.uniform(keys[3], minval=-0.1, maxval=0.1) * w
+    ty = jax.random.uniform(keys[4], minval=-0.1, maxval=0.1) * h
+    m_aff = jnp.where(do_aff, W.affine_matrix(angle, (tx, ty), (h, w)), eye)
+
+    do_persp = jax.random.uniform(keys[5]) < 0.5
+    d = 0.4
+    half_h, half_w = h // 2, w // 2
+    # torchvision RandomPerspective corner displacement ranges
+    dx = jax.random.uniform(keys[6], (4,)) * (d * half_w + 1)
+    dy = jax.random.uniform(keys[7], (4,)) * (d * half_h + 1)
+    corners = jnp.asarray(
+        [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], jnp.float32
+    )
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    endpoints = corners + signs * jnp.stack([dx, dy], axis=-1)
+    m_persp = jnp.where(
+        do_persp, W.perspective_matrix(corners, endpoints), eye
+    )
+
+    matrix = m_flip @ m_aff @ m_persp
+
+    do_jitter = jax.random.uniform(keys[8]) < 0.7
+    do_gray = jax.random.uniform(keys[9]) < 0.15
+    fb = jax.random.uniform(keys[10], (4,), minval=0.9, maxval=1.1)
+    hue_f = jax.random.uniform(keys[11], minval=-0.1, maxval=0.1)
+    perm = jax.random.permutation(keys[12], 4)
+
+    def color_fn(x):
+        def jitter(x):
+            ops = [
+                lambda v: W.adjust_brightness(v, fb[0]),
+                lambda v: W.adjust_contrast(v, fb[1]),
+                lambda v: W.adjust_saturation(v, fb[2]),
+                lambda v: W.adjust_hue(v, hue_f),
+            ]
+
+            def body(i, v):
+                return jax.lax.switch(perm[i], ops, v)
+
+            return jax.lax.fori_loop(0, 4, body, x)
+
+        x = jnp.where(do_jitter, jitter(x), x)
+        g = jnp.broadcast_to(W.rgb_to_grayscale(x), x.shape)
+        return jnp.where(do_gray, g, x)
+
+    return matrix, color_fn
+
+
+def augment_views(
+    key: jax.Array,
+    img: jnp.ndarray,
+    n_aug: int,
+    fill: float = 1.0,
+) -> jnp.ndarray:
+    """One image [H, W, 3] in [0,1] -> [n_aug, ch, cw, 3] augmented views.
+
+    View 0: resize (short side 224, long side capped at 320) + augs.
+    Views 1..n-1: random crop (scale U(0.6, 1)) resized to the view-0
+    frame + augs (reference clip_extractor.py:68-96).
+    """
+    h, w = img.shape[0], img.shape[1]
+    ch, cw = resize_output_size(h, w)
+    keys = jax.random.split(key, 2 * n_aug)
+
+    def one_view(i, kc, ka):
+        # crop/resize stage
+        full = W.crop_resize_matrix(0.0, 0.0, float(h), float(w), (ch, cw))
+
+        s = jax.random.uniform(kc, minval=0.6, maxval=1.0)
+        crop_h = jnp.floor(h * s)
+        crop_w = jnp.floor(w * s)
+        ky, kx = jax.random.split(jax.random.fold_in(kc, 1))
+        y0 = jnp.floor(jax.random.uniform(ky) * (h - crop_h + 1))
+        x0 = jnp.floor(jax.random.uniform(kx) * (w - crop_w + 1))
+        crop = W.crop_resize_matrix(y0, x0, crop_h, crop_w, (ch, cw))
+
+        m_crop = jnp.where(i == 0, full, crop)
+        m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
+        m_total = m_crop @ m_augs
+        view = W.warp_homography(img, m_total, (ch, cw), fill=fill)
+        return jnp.clip(color_fn(jnp.clip(view, 0.0, 1.0)), 0.0, 1.0)
+
+    views = jax.vmap(one_view)(
+        jnp.arange(n_aug), keys[:n_aug], keys[n_aug:]
+    )
+    return views
+
+
+class ClipExtractor:
+    """Frozen CLIP + guidance losses. All heavy paths are jit/grad-safe."""
+
+    def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
+                 affine_fill: float = 1.0):
+        self.model = model
+        self.variables = variables
+        self.n_aug = n_aug
+        self.affine_fill = affine_fill
+        self.cfg = {"n_aug": n_aug}
+
+    # -- text ----------------------------------------------------------
+    def get_text_embedding(
+        self, text, template: Sequence[str], average_embeddings: bool = False
+    ) -> jnp.ndarray:
+        """[N_templates, D] raw (unnormalized) text embeddings."""
+        if isinstance(text, str):
+            text = [text]
+        embs = []
+        for prompt in text:
+            toks = jnp.asarray(
+                tokenize(compose_text_with_templates(prompt, template))
+            )
+            e = self.model.apply(
+                self.variables, toks, method=self.model.encode_text
+            )
+            embs.append(e)
+        out = jnp.concatenate(embs, axis=0)
+        if average_embeddings:
+            out = out.mean(axis=0, keepdims=True)
+        return out
+
+    # -- images --------------------------------------------------------
+    def embed_image_views(self, x01: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        """[B, H, W, 3] in [0,1] -> [B, n_aug, D] embeddings of augmented views."""
+        B = x01.shape[0]
+        keys = jax.random.split(key, B)
+        views = jax.vmap(
+            lambda img, k: augment_views(k, img, self.n_aug, self.affine_fill)
+        )(x01, keys)  # [B, n_aug, ch, cw, 3]
+        bn = B * self.n_aug
+        flat = views.reshape((bn,) + views.shape[2:])
+        embs = self.model.apply(
+            self.variables, clip_normalize(flat), method=self.model.encode_image
+        )
+        return embs.reshape(B, self.n_aug, -1)
+
+    # -- loss ----------------------------------------------------------
+    def calculate_clip_loss(
+        self, x01: jnp.ndarray, text_embeds: jnp.ndarray, key: jax.Array
+    ) -> jnp.ndarray:
+        """Stochastic-template CLIP loss (clip_extractor.py:134-147)."""
+        n_total = text_embeds.shape[0]
+        kn, ki, ka = jax.random.split(key, 3)
+        n_sel = jax.random.randint(kn, (), 1, n_total + 1)
+        idx = jax.random.randint(ki, (n_total,), 0, n_total)
+        sel_mask = (jnp.arange(n_total) < n_sel).astype(jnp.float32)
+        selected = text_embeds[idx]  # [n_total, D] (first n_sel count)
+
+        img_embs = self.embed_image_views(x01, ka)  # [B, n_aug, D]
+        img_n = img_embs / jnp.linalg.norm(img_embs, axis=-1, keepdims=True)
+        txt_n = selected / jnp.linalg.norm(selected, axis=-1, keepdims=True)
+        # cos[b, t] = mean over views of <img view, template t>
+        cos = jnp.einsum("bvd,td->bvt", img_n, txt_n).mean(axis=1)
+        per_pair = 1.2 * (1.0 - cos)  # [B, n_total]
+        loss = jnp.sum(per_pair * sel_mask[None, :]) / n_sel
+        return loss

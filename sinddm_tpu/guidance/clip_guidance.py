@@ -1,0 +1,162 @@
+"""CLIP-guided sampling hook: gradient edits of x_recon inside the scan.
+
+Re-design of the reference's in-sampler CLIP branch
+(``SinDDM/models.py:368-427``) as a pure guidance function threaded
+through the reverse-diffusion ``lax.scan``:
+
+* per guided timestep: clamp x_recon; if a mask exists, blend with the
+  previous guided estimate (``x * (1-m) + ((1-l)*prev + l*x) * m``,
+  models.py:373-375);
+* ``guidance_sub_iters[s]`` gradient sub-iterations: score =
+  -clip_loss((x+1)/2, text embeds — hr for s>0, lr for s=0); grad via
+  ``jax.grad`` (replacing ``torch.autograd.grad``, models.py:387);
+* on the first-ever iteration, :func:`thresholded_grad` sparsifies the
+  gradient at an energy quantile (= 1 - fill_factor) and produces the
+  persistent edit mask (models.py:389-392; ``functions.py:52-67``);
+* norm-matched update ``x += strength * (||x*m|| / ||g*m||) * g * m``,
+  clamp, repeat (models.py:406-412);
+* guidance is gated off for the last ``stop_guidance`` steps of the
+  finest scale (models.py:368) via ``lax.cond`` so the CLIP tower isn't
+  even executed on gated steps.
+
+Carry: (mask [B,H,W,1], x_recon_prev [B,H,W,3], has_mask flag). The app
+layer resizes the carry between scales and drops a scale-0 mask
+(models.py:528-534) — see :func:`resize_guidance_carry`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sinddm_tpu.guidance.clip_extractor import ClipExtractor
+from sinddm_tpu.ops.resize import resize_bilinear
+
+
+class ClipCarry(NamedTuple):
+    mask: jnp.ndarray  # [B, H, W, 1]
+    x_recon_prev: jnp.ndarray  # [B, H, W, 3]
+    has_mask: jnp.ndarray  # bool scalar
+
+
+def init_clip_carry(batch: int, size_hw: Tuple[int, int]) -> ClipCarry:
+    h, w = size_hw
+    return ClipCarry(
+        mask=jnp.zeros((batch, h, w, 1), jnp.float32),
+        x_recon_prev=jnp.zeros((batch, h, w, 3), jnp.float32),
+        has_mask=jnp.asarray(False),
+    )
+
+
+def resize_guidance_carry(
+    carry: ClipCarry, size_hw: Tuple[int, int], drop_mask: bool = False
+) -> ClipCarry:
+    """Bilinear-resize the guidance state to the next scale's size.
+
+    ``drop_mask=True`` mirrors the reference discarding a mask created at
+    scale 0 ("usually too noisy", models.py:533-534).
+    """
+    return ClipCarry(
+        mask=jnp.zeros_like(resize_bilinear(carry.mask, size_hw))
+        if drop_mask
+        else resize_bilinear(carry.mask, size_hw),
+        x_recon_prev=resize_bilinear(carry.x_recon_prev, size_hw),
+        has_mask=jnp.where(drop_mask, jnp.asarray(False), carry.has_mask),
+    )
+
+
+def thresholded_grad(
+    grad: jnp.ndarray, quantile: float = 0.8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-threshold CLIP gradients at an energy quantile.
+
+    Reference ``functions.py:52-67``: energy = ||grad||_2 over channels;
+    per-sample 'nearest' quantile of the flattened energy; returns
+    (sparse_grad, boolean mask). Implements the paper's fill_factor.
+    """
+    b = grad.shape[0]
+    energy = jnp.linalg.norm(grad, axis=-1)  # [B, H, W]
+    flat = energy.reshape(b, -1)
+    q = jnp.quantile(flat, quantile, axis=1, method="nearest")[:, None, None]
+    delta = energy - q
+    mask = (delta > 0)[..., None]  # [B, H, W, 1]
+    delta_clamped = jnp.clip(delta, 0.0, None)[..., None]
+    unit = grad / energy[..., None]
+    unit = jnp.nan_to_num(unit, nan=0.0, posinf=0.0, neginf=0.0)
+    return delta_clamped * unit, mask
+
+
+def _vec_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample L2 norm over (H, W, C), keepdims (torch vector_norm parity)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=(1, 2, 3), keepdims=True))
+
+
+def make_clip_guidance(
+    extractor: ClipExtractor,
+    text_embeds: jnp.ndarray,
+    *,
+    s: int,
+    n_scales: int,
+    sub_iters: int,
+    strength: float,
+    quantile: float,
+    llambda: float,
+    stop_guidance: int,
+):
+    """Build the per-scale guidance hook (None when sub_iters == 0)."""
+    if sub_iters <= 0:
+        return None
+
+    def guided(args):
+        x_recon, t, key, carry = args
+        mask, x_prev, has_mask = carry
+        x = jnp.clip(x_recon, -1.0, 1.0)
+        blended = x * (1.0 - mask) + ((1.0 - llambda) * x_prev + llambda * x) * mask
+        x = jnp.where(has_mask, blended, x)
+
+        scores = []
+        for i in range(sub_iters):
+            key, kl = jax.random.split(key)
+
+            def loss_fn(xr):
+                return -extractor.calculate_clip_loss(
+                    (xr + 1.0) * 0.5, text_embeds, kl
+                )
+
+            score, grad = jax.value_and_grad(loss_fn)(x)
+
+            sparse_grad, new_mask = thresholded_grad(grad, quantile)
+            use_sparse = jnp.logical_not(has_mask)
+            mask = jnp.where(has_mask, mask, new_mask.astype(jnp.float32))
+            grad_used = jnp.where(use_sparse, sparse_grad, grad)
+            has_mask = jnp.asarray(True)
+
+            division_norm = _vec_norm(x * mask) / jnp.maximum(
+                _vec_norm(grad_used * mask), 1e-12
+            )
+            x = x + strength * division_norm * grad_used * mask
+            x = jnp.clip(x, -1.0, 1.0)
+            scores.append(score)
+
+        carry = ClipCarry(mask, jax.lax.stop_gradient(x), has_mask)
+        return x, carry, jnp.stack(scores)
+
+    def not_guided(args):
+        x_recon, t, key, carry = args
+        return x_recon, ClipCarry(*carry), jnp.zeros((sub_iters,))
+
+    def guidance_fn(x_recon, x_t, t, s_, key, carry):
+        # gate: stop_guidance <= t or s < n_scales - 1 (models.py:368)
+        if s < n_scales - 1:
+            x, carry, scores = guided((x_recon, t, key, carry))
+        else:
+            gate = t >= stop_guidance
+            x, carry, scores = jax.lax.cond(
+                gate, guided, not_guided, (x_recon, t, key, carry)
+            )
+        return x, carry, {"clip_score": scores}
+
+    return guidance_fn

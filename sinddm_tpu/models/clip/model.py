@@ -162,7 +162,7 @@ class VisionTransformer(nn.Module):
         ps = cfg.vision_patch_size
         x = nn.Conv(
             cfg.vision_width, (ps, ps), strides=(ps, ps), use_bias=False,
-            name="conv1",
+            padding="VALID", name="conv1",  # torch Conv2d: no padding
         )(x)
         x = x.reshape(B, -1, cfg.vision_width)  # [B, Hp*Wp, width]
         cls = self.param(

@@ -1,0 +1,210 @@
+"""Guidance stack: augmentation views, thresholded gradients, CLIP hooks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sinddm_tpu.guidance.clip_extractor import (
+    ClipExtractor,
+    augment_views,
+    get_augmentations_template,
+    resize_output_size,
+)
+from sinddm_tpu.guidance.clip_guidance import (
+    init_clip_carry,
+    make_clip_guidance,
+    resize_guidance_carry,
+    thresholded_grad,
+)
+from sinddm_tpu.models.clip.model import tiny_clip_config
+
+
+@pytest.fixture(scope="module")
+def tiny_extractor():
+    from sinddm_tpu.models.clip.convert import random_clip_params
+
+    model, variables = random_clip_params(tiny_clip_config(), seed=0)
+    return ClipExtractor(model, variables, n_aug=4)
+
+
+def test_resize_output_size_torchvision_semantics():
+    # short side -> 224 when long side stays under the cap
+    assert resize_output_size(100, 100) == (224, 224)
+    # long side capped at 320
+    h, w = resize_output_size(100, 300)
+    assert w == 320 and h == int(320 * 100 / 300)
+    # portrait orientation
+    h, w = resize_output_size(300, 100)
+    assert h == 320 and w == int(320 * 100 / 300)
+
+
+def test_augment_views_shapes_and_range():
+    img = jnp.clip(jax.random.uniform(jax.random.PRNGKey(0), (40, 60, 3)), 0, 1)
+    views = augment_views(jax.random.PRNGKey(1), img, n_aug=4)
+    ch, cw = resize_output_size(40, 60)
+    assert views.shape == (4, ch, cw, 3)
+    v = np.asarray(views)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+    # stochastic: views differ from each other
+    assert not np.allclose(v[0], v[1])
+
+
+def test_augment_views_differentiable():
+    img = jnp.clip(jax.random.uniform(jax.random.PRNGKey(2), (24, 24, 3)), 0.2, 0.8)
+
+    def f(x):
+        return jnp.sum(augment_views(jax.random.PRNGKey(3), x, n_aug=2) ** 2)
+
+    g = jax.grad(f)(img)
+    assert g.shape == img.shape
+    assert float(jnp.abs(g).max()) > 0
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_thresholded_grad_quantile_semantics():
+    rng = np.random.default_rng(0)
+    grad = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    sparse, mask = thresholded_grad(jnp.asarray(grad), quantile=0.75)
+    sparse, mask = np.asarray(sparse), np.asarray(mask)
+    energy = np.linalg.norm(grad, axis=-1)
+    for b in range(2):
+        q = np.quantile(energy[b].reshape(-1), 0.75, method="nearest")
+        expected_mask = energy[b] > q
+        np.testing.assert_array_equal(mask[b, :, :, 0], expected_mask)
+        # sparse grad = relu(energy - q) * unit grad
+        expected = np.clip(energy[b] - q, 0, None)[..., None] * (
+            grad[b] / energy[b][..., None]
+        )
+        np.testing.assert_allclose(sparse[b], expected, atol=1e-5)
+    # quantile 0: (almost) everything passes
+    _, mask0 = thresholded_grad(jnp.asarray(grad), quantile=0.0)
+    assert np.asarray(mask0).mean() > 0.9
+
+
+def test_clip_guidance_hook_creates_mask(tiny_extractor):
+    embeds = tiny_extractor.get_text_embedding(
+        "a tree", get_augmentations_template("hr")
+    )
+    fn = make_clip_guidance(
+        tiny_extractor, embeds, s=1, n_scales=3, sub_iters=1,
+        strength=0.3, quantile=0.8, llambda=0.2, stop_guidance=3,
+    )
+    carry = init_clip_carry(1, (24, 24))
+    # non-zero image: the update is norm-matched (||x*m||/||g*m||), so a
+    # zero image would correctly produce a zero update
+    x = 0.3 * jnp.ones((1, 24, 24, 3))
+    out, carry2, aux = fn(x, x, jnp.asarray(5), 1, jax.random.PRNGKey(0), carry)
+    assert out.shape == x.shape
+    assert bool(carry2.has_mask)
+    assert float(carry2.mask.sum()) > 0
+    # ~20% of pixels editable at quantile 0.8
+    frac = float(carry2.mask.mean())
+    assert 0.05 < frac < 0.35
+    assert "clip_score" in aux
+    # the guided estimate changed inside the mask
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_clip_guidance_stop_gate(tiny_extractor):
+    """At the finest scale, steps below stop_guidance are untouched."""
+    embeds = tiny_extractor.get_text_embedding(
+        "a tree", get_augmentations_template("hr")
+    )
+    fn = make_clip_guidance(
+        tiny_extractor, embeds, s=2, n_scales=3, sub_iters=1,
+        strength=0.3, quantile=0.0, llambda=0.0, stop_guidance=3,
+    )
+    carry = init_clip_carry(1, (24, 24))
+    x = 0.1 * jnp.ones((1, 24, 24, 3))
+    out_gated, carry_g, _ = fn(x, x, jnp.asarray(2), 2, jax.random.PRNGKey(0), carry)
+    np.testing.assert_array_equal(np.asarray(out_gated), np.asarray(x))
+    assert not bool(carry_g.has_mask)
+    out_active, _, _ = fn(x, x, jnp.asarray(3), 2, jax.random.PRNGKey(0), carry)
+    assert not np.allclose(np.asarray(out_active), np.asarray(x))
+
+
+def test_resize_guidance_carry():
+    carry = init_clip_carry(2, (10, 12))
+    carry = carry._replace(
+        mask=jnp.ones_like(carry.mask), has_mask=jnp.asarray(True)
+    )
+    out = resize_guidance_carry(carry, (20, 24))
+    assert out.mask.shape == (2, 20, 24, 1)
+    assert out.x_recon_prev.shape == (2, 20, 24, 3)
+    assert bool(out.has_mask)
+    dropped = resize_guidance_carry(carry, (20, 24), drop_mask=True)
+    assert not bool(dropped.has_mask)
+    assert float(dropped.mask.sum()) == 0.0
+
+
+def test_clip_loss_and_grad(tiny_extractor):
+    embeds = tiny_extractor.get_text_embedding(
+        "a fire", get_augmentations_template("lr")
+    )
+    assert embeds.shape == (len(get_augmentations_template("lr")), 32)
+    x01 = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)), 0, 1)
+    loss = tiny_extractor.calculate_clip_loss(x01, embeds, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda x: tiny_extractor.calculate_clip_loss(x, embeds, jax.random.PRNGKey(2))
+    )(x01)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_clip_sampling_end_to_end(tiny_extractor, tiny_pyramid):
+    """Full guided pyramid run with a tiny CLIP + tiny denoiser."""
+    from sinddm_tpu.apps.clip_apps import clip_sampling
+    from sinddm_tpu.models import SinDDMNet
+    from sinddm_tpu.schedules import make_schedules
+
+    pyr = tiny_pyramid
+    sched = make_schedules(
+        timesteps=10, scale_losses=pyr.rescale_losses, n_scales=pyr.n_scales
+    )
+    model = SinDDMNet(dim=8)
+    h0, w0 = pyr.sizes_hw[0]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, w0, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
+    )["params"]
+
+    outputs, aux = clip_sampling(
+        model, params, sched, pyr, tiny_extractor, jax.random.PRNGKey(1),
+        text_input="a forest", strength=0.3, sample_batch_size=1,
+        custom_t_list=[2] * (pyr.n_scales - 1),
+        guidance_sub_iters=[0] + [1] * (pyr.n_scales - 1),
+        quantile=0.8, stop_guidance=1, llambda=0.2, reblurring=False,
+    )
+    assert len(outputs) == pyr.n_scales
+    for s, out in enumerate(outputs):
+        assert out.shape == (1,) + pyr.sizes_hw[s] + (3,)
+        assert np.isfinite(np.asarray(out)).all()
+    scores = [a for a in aux if isinstance(a, dict) and "clip_score" in a]
+    assert scores, "guided scales must emit clip scores"
+
+
+def test_clip_roi_sampling_end_to_end(tiny_extractor, tiny_pyramid):
+    from sinddm_tpu.apps.clip_apps import clip_roi_sampling
+    from sinddm_tpu.models import SinDDMNet
+    from sinddm_tpu.schedules import make_schedules
+
+    pyr = tiny_pyramid
+    sched = make_schedules(
+        timesteps=10, scale_losses=pyr.rescale_losses, n_scales=pyr.n_scales
+    )
+    model = SinDDMNet(dim=8)
+    h, w = pyr.sizes_hw[-1]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
+    )["params"]
+    final, scores = clip_roi_sampling(
+        model, params, sched, pyr, tiny_extractor, jax.random.PRNGKey(2),
+        text_input="a fire", sample_batch_size=1, num_clip_iters=3,
+        num_denoising_steps=2, clip_roi_bb=(4, 4, 16, 16),
+    )
+    assert final.shape == (1, h, w, 3)
+    assert scores.shape == (3,)
+    assert np.isfinite(np.asarray(final)).all()
