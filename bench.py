@@ -51,7 +51,9 @@ def main() -> None:
             scale_factor=pyr.scale_factor, n_scales=pyr.n_scales,
             batch_size=16, custom_sample=True,
         )
-        outs[-1].block_until_ready()
+        # force execution with a scalar device->host sync:
+        # block_until_ready() returns early on the tunneled axon backend
+        float(outs[-1].sum())
         return outs
 
     t_c = time.time()

@@ -27,11 +27,14 @@ from sinddm_tpu.schedules import Schedules
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "s", "t_min", "omega", "guidance_fn")
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "s", "t_min", "omega", "guidance_fn", "sharding"
+    ),
 )
 def jit_sample_scale0(
     model, params, sched: Schedules, key, shape, s, t_min, omega,
-    guidance_fn=None, guidance_carry=None,
+    guidance_fn=None, guidance_carry=None, sharding=None,
 ):
     def model_fn(x, t, sc):
         return model.apply({"params": params}, x, t, sc)
@@ -39,6 +42,7 @@ def jit_sample_scale0(
     x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        sharding=sharding,
     )
     return x, carry, aux
 
@@ -47,12 +51,12 @@ def jit_sample_scale0(
     jax.jit,
     static_argnames=(
         "model", "size_hw", "s", "total_t", "t_min", "reblurring", "omega",
-        "guidance_fn",
+        "guidance_fn", "sharding",
     ),
 )
 def jit_sample_via_scale(
     model, params, sched: Schedules, prev, key, size_hw, s, total_t, t_min,
-    reblurring, omega, guidance_fn=None, guidance_carry=None,
+    reblurring, omega, guidance_fn=None, guidance_carry=None, sharding=None,
 ):
     img_prev = resize_bilinear(prev, size_hw)
     def model_fn(x, t, sc):
@@ -62,6 +66,7 @@ def jit_sample_via_scale(
         model_fn, sched, img_prev, key,
         s=s, total_t=total_t, t_min=t_min, reblurring=reblurring, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        sharding=sharding,
     )
     return x, carry, aux
 
@@ -116,6 +121,7 @@ def sample_scales(
     guidance_factory: Optional[Callable[[int, Any, Tuple[int, int]], Tuple[Any, Any]]] = None,
     carry_transform: Optional[Callable[[int, Any, Tuple[int, int]], Any]] = None,
     collect_aux: Optional[List[Any]] = None,
+    sharding=None,
 ) -> List[jnp.ndarray]:
     """Run the full pyramid; returns the list of per-scale outputs [B,H,W,3].
 
@@ -159,7 +165,7 @@ def sample_scales(
                     gfn, gcarry = guidance_factory(s, gcarry, shape[1:3])
                 x, gcarry, aux = jit_sample_scale0(
                     model, params, sched, sub, shape, s, t_min, omega,
-                    guidance_fn=gfn, guidance_carry=gcarry,
+                    guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
                 )
                 if collect_aux is not None:
                     collect_aux.append(aux)
@@ -195,7 +201,7 @@ def sample_scales(
             x, gcarry, aux = jit_sample_via_scale(
                 model, params, sched, outputs[-1], sub, size_hw, s, total_t,
                 t_min, reblurring, omega,
-                guidance_fn=gfn, guidance_carry=gcarry,
+                guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
             )
             if collect_aux is not None:
                 collect_aux.append(aux)

@@ -253,14 +253,21 @@ def sample_scale0(
     omega: float = 0.0,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    sharding=None,
 ) -> Tuple[jnp.ndarray, Any, Any]:
     """Sample from pure noise at the coarsest scale. Reference models.py:462-499.
 
     ``shape`` is (B, H, W, C); the reverse chain runs T-1 .. t_min
     (``t_min = num_timesteps_ideal[s+1]`` under --sample_limited_t).
+    ``sharding``: optional NamedSharding for the [B, H, W, C] state — one
+    constraint on the initial noise propagates through the whole scan
+    (batch over 'data', optionally H over 'spatial'; XLA inserts the conv
+    halo exchanges).
     """
     key, k0 = jax.random.split(key)
     x = jax.random.normal(k0, shape, dtype=jnp.float32)
+    if sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, sharding)
     return _scan_reverse(
         model_fn, sched, x, key, sched.num_timesteps, t_min,
         s=s, reblurring=False, img_prev=None, omega=omega,
@@ -281,6 +288,7 @@ def sample_via_scale(
     omega: float = 0.0,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    sharding=None,
 ) -> Tuple[jnp.ndarray, Any, Any]:
     """Denoise at scale s conditioned on the (already resized) previous output.
 
@@ -290,6 +298,8 @@ def sample_via_scale(
     anchor, forward-noise it to ``total_t`` and reverse-denoise
     ``total_t - 1 .. t_min``.
     """
+    if sharding is not None:
+        img_prev = jax.lax.with_sharding_constraint(img_prev, sharding)
     key, kn = jax.random.split(key)
     noise = jax.random.normal(kn, img_prev.shape, dtype=img_prev.dtype)
     x = q_sample(sched, img_prev, jnp.asarray(total_t), noise)

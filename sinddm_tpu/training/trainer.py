@@ -114,12 +114,25 @@ class MultiscaleTrainer:
         diff_cfg: DiffusionConfig,
         results_folder: str,
         seed: int = 0,
+        mesh=None,
     ):
         self.model = model
         self.sched = sched
         self.pyramid = pyramid
         self.cfg = train_cfg
         self.diff_cfg = diff_cfg
+        # optional jax.sharding.Mesh: batch over 'data', image H over
+        # 'spatial'; one constraint on the noise shards the whole step and
+        # XLA all-reduces the gradients over ICI
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(
+                mesh, P("data", "spatial", None, None)
+            )
+        else:
+            self._batch_sharding = None
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
 
@@ -171,11 +184,18 @@ class MultiscaleTrainer:
         G = cfg.grad_accumulate
         B = cfg.train_batch_size
 
+        batch_sharding = self._batch_sharding
+
         @functools.partial(jax.jit, static_argnames=("s",), donate_argnums=(0,))
         def step_fn(state: TrainState, x_orig, x_blur, key, s: int):
             def loss_fn(params):
                 def model_fn(x, t, sc):
-                    return model.apply({"params": params}, x, t, sc)
+                    x_in = (
+                        jax.lax.with_sharding_constraint(x, batch_sharding)
+                        if batch_sharding is not None
+                        else x
+                    )
+                    return model.apply({"params": params}, x_in, t, sc)
 
                 keys = jax.random.split(key, G)
                 losses = [
@@ -221,6 +241,7 @@ class MultiscaleTrainer:
         loss_type = self.diff_cfg.loss_type
         G = cfg.grad_accumulate
         B = cfg.train_batch_size
+        batch_sharding = self._batch_sharding
         n_scales = self.pyramid.n_scales
         T = sched.num_timesteps
         # gamma row per scale on the padded stack; row 0 is zeros so the
@@ -261,6 +282,10 @@ class MultiscaleTrainer:
                         noise = jax.random.normal(
                             kn, (B,) + x_orig.shape[1:], jnp.float32
                         )
+                        if batch_sharding is not None:
+                            noise = jax.lax.with_sharding_constraint(
+                                noise, batch_sharding
+                            )
                         g = extract(g_row, t)
                         x_mix = g * x_blur + (1.0 - g) * x_orig
                         x_noisy = q_sample(sched, x_mix, t, noise)

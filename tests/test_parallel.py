@@ -1,0 +1,135 @@
+"""Multi-device (8-dev CPU mesh) tests: sharded == single-device numerics.
+
+The standard JAX stand-in for a TPU slice (SURVEY §4.4): assert that the
+('data', 'spatial') mesh produces the same numbers as one device, both for
+a train step (gradient all-reduce path) and for sampling (conv halo
+exchange under spatial sharding of the fully-convolutional denoiser).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sinddm_tpu.config import DiffusionConfig, TrainConfig
+from sinddm_tpu.models import SinDDMNet
+from sinddm_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from sinddm_tpu.schedules import make_schedules
+from sinddm_tpu.training import MultiscaleTrainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_pyramid):
+    sched = make_schedules(
+        timesteps=100,
+        scale_losses=tiny_pyramid.rescale_losses,
+        n_scales=tiny_pyramid.n_scales,
+    )
+    model = SinDDMNet(dim=8)
+    return model, sched, tiny_pyramid
+
+
+def test_mesh_construction():
+    mesh = make_mesh(spatial=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "spatial")
+    with pytest.raises(ValueError):
+        make_mesh(jax.devices()[:5], spatial=2)
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    model, sched, pyr = setup
+    cfg = TrainConfig(train_batch_size=8, steps_per_chunk=4)
+    tr_single = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), "/tmp/par_single", seed=0
+    )
+    mesh = make_mesh(spatial=1)
+    tr_shard = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), "/tmp/par_shard", seed=0,
+        mesh=mesh,
+    )
+    l1 = tr_single.train_step(s=1)
+    l2 = tr_shard.train_step(s=1)
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    # params after the update agree
+    flat1 = jax.tree.leaves(tr_single.state.params)
+    flat2 = jax.tree.leaves(tr_shard.state.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_fused_chunk_matches_single_device(setup):
+    model, sched, pyr = setup
+    cfg = TrainConfig(train_batch_size=8, steps_per_chunk=4)
+    tr_single = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), "/tmp/par_fsingle", seed=0
+    )
+    mesh = make_mesh(spatial=2)
+    tr_shard = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), "/tmp/par_fshard", seed=0,
+        mesh=mesh,
+    )
+    l1 = tr_single.train_chunk(4)
+    l2 = tr_shard.train_chunk(4)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+def test_sharded_sampling_matches_single_device(setup):
+    from sinddm_tpu.apps.sampling import sample_scales
+
+    model, sched, pyr = setup
+    h0, w0 = pyr.sizes_hw[0]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, w0, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
+    )["params"]
+
+    kwargs = dict(
+        scale_factor=pyr.scale_factor, n_scales=pyr.n_scales,
+        batch_size=8, custom_sample=True,
+        custom_t_list=[3] * (pyr.n_scales - 1),
+    )
+    outs_single = sample_scales(
+        model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(7), **kwargs
+    )
+    mesh = make_mesh(spatial=1)
+    shd = NamedSharding(mesh, P("data", None, None, None))
+    outs_shard = sample_scales(
+        model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(7),
+        sharding=shd, **kwargs,
+    )
+    for a, b in zip(outs_single, outs_shard):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_spatial_sharding_conv_halo_correct(setup):
+    """H-axis sharding of the fully-conv denoiser == unsharded forward
+    (GSPMD inserts halo exchanges for the 35-px receptive field)."""
+    model, sched, pyr = setup
+    mesh = make_mesh(spatial=4)
+    h, w = 64, 48
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), jnp.asarray(0.0)
+    )["params"]
+    t = jnp.asarray([5, 50])
+
+    ref = model.apply({"params": params}, x, t, jnp.asarray(1.0))
+
+    shd = NamedSharding(mesh, P("data", "spatial", None, None))
+    x_sh = jax.device_put(x, shd)
+    p_sh = shard_params(params, mesh)
+
+    @jax.jit
+    def fwd(p, xx, tt):
+        return model.apply({"params": p}, xx, tt, jnp.asarray(1.0))
+
+    out = fwd(p_sh, x_sh, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # output is actually sharded over the mesh
+    assert len(out.sharding.device_set) == 8
