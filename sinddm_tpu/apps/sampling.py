@@ -29,12 +29,14 @@ from sinddm_tpu.schedules import Schedules
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "shape", "s", "t_min", "omega", "guidance_fn", "sharding"
+        "model", "shape", "s", "t_min", "omega", "guidance_fn", "sharding",
+        "collect_interm",
     ),
 )
 def jit_sample_scale0(
     model, params, sched: Schedules, key, shape, s, t_min, omega,
     guidance_fn=None, guidance_carry=None, sharding=None,
+    collect_interm=False,
 ):
     def model_fn(x, t, sc):
         return model.apply({"params": params}, x, t, sc)
@@ -42,7 +44,7 @@ def jit_sample_scale0(
     x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
-        sharding=sharding,
+        sharding=sharding, collect_interm=collect_interm,
     )
     return x, carry, aux
 
@@ -51,12 +53,13 @@ def jit_sample_scale0(
     jax.jit,
     static_argnames=(
         "model", "size_hw", "s", "total_t", "t_min", "reblurring", "omega",
-        "guidance_fn", "sharding",
+        "guidance_fn", "sharding", "collect_interm",
     ),
 )
 def jit_sample_via_scale(
     model, params, sched: Schedules, prev, key, size_hw, s, total_t, t_min,
     reblurring, omega, guidance_fn=None, guidance_carry=None, sharding=None,
+    collect_interm=False,
 ):
     img_prev = resize_bilinear(prev, size_hw)
     def model_fn(x, t, sc):
@@ -66,7 +69,7 @@ def jit_sample_via_scale(
         model_fn, sched, img_prev, key,
         s=s, total_t=total_t, t_min=t_min, reblurring=reblurring, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
-        sharding=sharding,
+        sharding=sharding, collect_interm=collect_interm,
     )
     return x, carry, aux
 

@@ -222,8 +222,15 @@ def _scan_reverse(
     omega: float,
     guidance_fn: Optional[GuidanceFn],
     guidance_carry: Any,
+    collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
-    """Run the reverse chain t = t_start-1 .. t_min as one lax.scan."""
+    """Run the reverse chain t = t_start-1 .. t_min as one lax.scan.
+
+    ``collect_interm=True`` additionally stacks every intermediate state
+    into the aux output under key ``"interm"`` (the functional equivalent
+    of the reference's ``save_interm`` image dumps, models.py:469-475 —
+    the host saves the frames after the scan instead of inside the loop).
+    """
     ts = jnp.arange(t_start - 1, t_min - 1, -1)
     if ts.shape[0] == 0:
         return x, guidance_carry, None
@@ -236,6 +243,8 @@ def _scan_reverse(
             s=s, reblurring=reblurring, img_prev=img_prev, omega=omega,
             guidance_fn=guidance_fn, guidance_carry=gcarry,
         )
+        if collect_interm:
+            aux = dict(aux, interm=x)
         return (x, key, gcarry), aux
 
     (x, _, guidance_carry), auxs = jax.lax.scan(body, (x, key, guidance_carry), ts)
@@ -254,6 +263,7 @@ def sample_scale0(
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
     sharding=None,
+    collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
     """Sample from pure noise at the coarsest scale. Reference models.py:462-499.
 
@@ -272,6 +282,7 @@ def sample_scale0(
         model_fn, sched, x, key, sched.num_timesteps, t_min,
         s=s, reblurring=False, img_prev=None, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        collect_interm=collect_interm,
     )
 
 
@@ -289,6 +300,7 @@ def sample_via_scale(
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
     sharding=None,
+    collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
     """Denoise at scale s conditioned on the (already resized) previous output.
 
@@ -307,6 +319,7 @@ def sample_via_scale(
         model_fn, sched, x, key, total_t, t_min,
         s=s, reblurring=reblurring, img_prev=img_prev, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        collect_interm=collect_interm,
     )
 
 

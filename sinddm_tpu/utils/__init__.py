@@ -1,0 +1,1 @@
+from sinddm_tpu.utils.profiling import phase_timer, trace  # noqa: F401

@@ -238,3 +238,14 @@ def test_masked_loss_matches_unpadded(sched):
         probe, sched, xp, t, noisep, s=0, loss_type="l1", valid_mask=mask
     )
     assert np.allclose(float(ref), float(padded), atol=1e-6)
+
+
+def test_collect_interm(sched, tiny_model):
+    """collect_interm returns every intermediate state (save_interm parity)."""
+    x, _, aux = sample_scale0(
+        tiny_model, sched, (1, 12, 10, 3), jax.random.PRNGKey(30),
+        t_min=90, collect_interm=True,
+    )
+    assert aux["interm"].shape == (10, 1, 12, 10, 3)
+    # last collected frame == the returned output
+    np.testing.assert_array_equal(np.asarray(aux["interm"][-1]), np.asarray(x))
