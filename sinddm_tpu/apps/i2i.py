@@ -97,7 +97,7 @@ def image2image(
         ds_factor = pyramid.scale_factor ** (n_scales - s - 1)
         cur_size = (int(h_in / ds_factor), int(w_in / ds_factor))
         key, sub = jax.random.split(key)
-        x, _ = jit_sample_via_scale(
+        x, _, _ = jit_sample_via_scale(
             model, params, sched_run, prev, sub, cur_size, s,
             int(custom_t[s]), 0, True, omega,
         )

@@ -22,24 +22,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from sinddm_tpu.diffusion.core import sample_scale0, sample_via_scale
+from sinddm_tpu.models.denoiser import apply_denoiser_pallas
 from sinddm_tpu.ops.resize import resize_bilinear
 from sinddm_tpu.schedules import Schedules
+
+
+def _make_model_fn(model, params, use_pallas: bool):
+    if use_pallas:
+        return lambda x, t, sc: apply_denoiser_pallas(params, x, t, sc)
+    return lambda x, t, sc: model.apply({"params": params}, x, t, sc)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "model", "shape", "s", "t_min", "omega", "guidance_fn", "sharding",
-        "collect_interm",
+        "collect_interm", "use_pallas",
     ),
 )
 def jit_sample_scale0(
     model, params, sched: Schedules, key, shape, s, t_min, omega,
     guidance_fn=None, guidance_carry=None, sharding=None,
-    collect_interm=False,
+    collect_interm=False, use_pallas=False,
 ):
-    def model_fn(x, t, sc):
-        return model.apply({"params": params}, x, t, sc)
+    model_fn = _make_model_fn(model, params, use_pallas)
 
     x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
@@ -53,17 +59,16 @@ def jit_sample_scale0(
     jax.jit,
     static_argnames=(
         "model", "size_hw", "s", "total_t", "t_min", "reblurring", "omega",
-        "guidance_fn", "sharding", "collect_interm",
+        "guidance_fn", "sharding", "collect_interm", "use_pallas",
     ),
 )
 def jit_sample_via_scale(
     model, params, sched: Schedules, prev, key, size_hw, s, total_t, t_min,
     reblurring, omega, guidance_fn=None, guidance_carry=None, sharding=None,
-    collect_interm=False,
+    collect_interm=False, use_pallas=False,
 ):
     img_prev = resize_bilinear(prev, size_hw)
-    def model_fn(x, t, sc):
-        return model.apply({"params": params}, x, t, sc)
+    model_fn = _make_model_fn(model, params, use_pallas)
 
     x, carry, aux = sample_via_scale(
         model_fn, sched, img_prev, key,
@@ -125,6 +130,7 @@ def sample_scales(
     carry_transform: Optional[Callable[[int, Any, Tuple[int, int]], Any]] = None,
     collect_aux: Optional[List[Any]] = None,
     sharding=None,
+    use_pallas: bool = False,
 ) -> List[jnp.ndarray]:
     """Run the full pyramid; returns the list of per-scale outputs [B,H,W,3].
 
@@ -169,6 +175,7 @@ def sample_scales(
                 x, gcarry, aux = jit_sample_scale0(
                     model, params, sched, sub, shape, s, t_min, omega,
                     guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
+                    use_pallas=use_pallas,
                 )
                 if collect_aux is not None:
                     collect_aux.append(aux)
@@ -205,6 +212,7 @@ def sample_scales(
                 model, params, sched, outputs[-1], sub, size_hw, s, total_t,
                 t_min, reblurring, omega,
                 guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
+                use_pallas=use_pallas,
             )
             if collect_aux is not None:
                 collect_aux.append(aux)

@@ -185,7 +185,7 @@ def main(argv=None) -> None:
 
             k = jax.random.PRNGKey(milestone)
             h0, w0 = pyramid.sizes_hw[0]
-            x, _ = jit_sample_scale0(
+            x, _, _ = jit_sample_scale0(
                 model, tr.state.ema_params, sched, k, (16, h0, w0, 3), 0, 0,
                 args.omega,
             )

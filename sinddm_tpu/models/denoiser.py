@@ -144,3 +144,53 @@ class SinDDMNet(nn.Module):
         if mask is not None:
             x = x * mask
         return x.astype(in_dtype)
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def compute_cond_vec(params, time, scale) -> jnp.ndarray:
+    """The (t, s) conditioning MLP as pure jnp over the flax param tree."""
+    t_emb = sinusoidal_pos_emb(jnp.asarray(time), TIME_DIM)
+    s_vec = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), t_emb.shape[:1])
+    s_emb = sinusoidal_pos_emb(s_vec, TIME_DIM)
+    ts = jnp.concatenate([t_emb, s_emb], axis=-1)
+    cond = _dense(params["time_mlp1"], ts)
+    cond = jax.nn.gelu(cond, approximate=False)
+    return _dense(params["time_mlp2"], cond)
+
+
+def apply_denoiser_pallas(
+    params, x: jnp.ndarray, time, scale, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Optimized executor of :class:`SinDDMNet` over the same param tree.
+
+    Each conv block runs as ONE fused Pallas kernel (depthwise 5x5 + cond
+    add + conv3x3 + GELU + conv3x3 + residual — single HBM read/write, MXU
+    matmuls from VMEM; see ``ops/pallas_conv.py``). Numerically equivalent
+    to ``SinDDMNet.apply`` (tested); use for the sampling/training hot path.
+    """
+    from sinddm_tpu.ops.pallas_conv import fused_conv_block
+
+    cond = compute_cond_vec(params, time, scale)
+    for name in ("l1", "l2", "l3", "l4"):
+        bp = params[name]
+        cond_b = _dense(bp["cond_mlp"], jax.nn.gelu(cond, approximate=False))
+        cond_b = _dense(bp["cond_proj"], cond_b)
+        wres = bp.get("res_conv")
+        x = fused_conv_block(
+            x,
+            cond_b,
+            bp["ds_conv"]["kernel"][:, :, 0, :],
+            bp["ds_conv"]["bias"],
+            bp["net_conv1"]["kernel"],
+            bp["net_conv1"]["bias"],
+            bp["net_conv2"]["kernel"],
+            bp["net_conv2"]["bias"],
+            None if wres is None else wres["kernel"][0, 0],
+            None if wres is None else wres["bias"],
+            interpret=interpret,
+        )
+    fc = params["final_conv"]
+    return x @ fc["kernel"][0, 0] + fc["bias"]
