@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--steps_per_chunk", default=100, type=int,
                    help="train steps fused per device call (0 = per-step)")
+    p.add_argument("--fused_mode", default="grouped",
+                   choices=["grouped", "padded"],
+                   help="fused-chunk strategy (see TrainConfig)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="use the fused Pallas conv-block kernels for sampling")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi_bb", nargs="+", type=int, action="append",
@@ -141,6 +146,7 @@ def main(argv=None) -> None:
         avg_window=args.avg_window,
         sched_milestones=tuple(v * 1000 for v in args.sched_k_milestones),
         steps_per_chunk=args.steps_per_chunk,
+        fused_mode=args.fused_mode,
     )
     diff_cfg = DiffusionConfig(
         timesteps=args.timesteps,
@@ -164,7 +170,7 @@ def main(argv=None) -> None:
             scale_factor=pyramid.scale_factor, n_scales=pyramid.n_scales,
             batch_size=args.sample_batch_size, scale_mul=scale_mul,
             custom_t_list=sample_t_list, sample_limited_t=args.sample_limited_t,
-            omega=args.omega, **kw,
+            omega=args.omega, use_pallas=args.use_pallas, **kw,
         )
         final_dir = Path(results_folder) / "final_samples"
         stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")

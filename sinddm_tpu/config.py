@@ -53,8 +53,15 @@ class TrainConfig:
     sched_milestones: Tuple[int, ...] = (20000, 40000, 70000, 80000, 90000, 110000)
     lr_gamma: float = 0.5
     # TPU fast path: number of train steps fused into one device call
-    # (lax.scan over uniform padded shapes). 0 disables the fused path.
+    # (lax.scan). 0 disables the fused path.
     steps_per_chunk: int = 100
+    # 'grouped': equal per-scale sub-chunks at true shapes (fastest;
+    #   deterministic uniform scale counts per chunk instead of the
+    #   reference's i.i.d. multinomial draw — identical marginals);
+    # 'padded': on-device multinomial scale choice over one padded canvas
+    #   (exact reference scale distribution, ~2.5x more conv FLOPs);
+    # fused_mode is ignored when steps_per_chunk == 0.
+    fused_mode: str = "grouped"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,17 @@ def extract_patch(image_hwc: np.ndarray, bb: Sequence[int]) -> np.ndarray:
     return image_hwc[y : y + h, x : x + w]
 
 
+def stat_from_bb(image_hwc: np.ndarray, bb: Sequence[int]):
+    """Per-channel (mean, std) of a box. Reference ``functions.py:38-42``
+    (declared for roi_bbs_stat; unused by the reference's own sampler but
+    part of its helper surface)."""
+    patch = extract_patch(np.asarray(image_hwc), bb)
+    return (
+        patch.mean(axis=(0, 1), keepdims=True),
+        patch.std(axis=(0, 1), ddof=1, keepdims=True),
+    )
+
+
 def make_roi_guidance(
     pyramid_images: Sequence[np.ndarray],
     target_bb: Sequence[int],

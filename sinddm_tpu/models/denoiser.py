@@ -171,7 +171,7 @@ def apply_denoiser_pallas(
     matmuls from VMEM; see ``ops/pallas_conv.py``). Numerically equivalent
     to ``SinDDMNet.apply`` (tested); use for the sampling/training hot path.
     """
-    from sinddm_tpu.ops.pallas_conv import fused_conv_block
+    from sinddm_tpu.ops.pallas_conv import conv_block_reference, fused_conv_block
 
     cond = compute_cond_vec(params, time, scale)
     for name in ("l1", "l2", "l3", "l4"):
@@ -179,7 +179,7 @@ def apply_denoiser_pallas(
         cond_b = _dense(bp["cond_mlp"], jax.nn.gelu(cond, approximate=False))
         cond_b = _dense(bp["cond_proj"], cond_b)
         wres = bp.get("res_conv")
-        x = fused_conv_block(
+        args = (
             x,
             cond_b,
             bp["ds_conv"]["kernel"][:, :, 0, :],
@@ -190,7 +190,12 @@ def apply_denoiser_pallas(
             bp["net_conv2"]["bias"],
             None if wres is None else wres["kernel"][0, 0],
             None if wres is None else wres["bias"],
-            interpret=interpret,
         )
+        if x.shape[-1] % 8 == 0:
+            x = fused_conv_block(*args, interpret=interpret)
+        else:
+            # Mosaic can't DMA-slice HBM refs with tiny unaligned lane dims
+            # (l1's 3-channel input); the cheapest block runs through XLA
+            x = conv_block_reference(*args)
     fc = params["final_conv"]
     return x @ fc["kernel"][0, 0] + fc["bias"]

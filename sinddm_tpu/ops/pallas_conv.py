@@ -39,13 +39,32 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 4  # 2 (dw 5x5) + 1 (conv1 3x3) + 1 (conv2 3x3)
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7, fp32-exact).
+
+    Mosaic implements neither ``erf`` nor ``erfc``, so the kernel carries
+    its own rational approximation (exp is supported).
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # exact GELU (erf form), matching jax.nn.gelu(approximate=False)
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
 def _conv_block_kernel(
-    x_hbm,  # [B, Hp+2*HALO, W+2*HALO, C] full padded input (ANY/HBM)
-    cond_ref,  # [1, C] conditioning for this batch element (VMEM)
+    x_hbm,  # [B, Hp+2*HALO, W+2*HALO, C_pad] full padded input (ANY/HBM;
+    #        Mosaic DMA requires a 128-multiple lane dim, so C is padded —
+    #        the kernel value-slices back to the true C after the copy)
+    cond_ref,  # [B, C] per-batch conditioning (VMEM, whole array)
     wdw_ref,  # [5*5, C]
     bdw_ref,  # [1, C]
     w1_ref,  # [3*3, C, Co]
@@ -55,7 +74,10 @@ def _conv_block_kernel(
     wres_ref,  # [C, Co] (or [1, 1] dummy when identity)
     bres_ref,  # [1, Co]
     out_ref,  # [1, Th, W, Co]
-    xt,  # scratch VMEM [Th+8, W+8, C]
+    xt_ref,  # scratch VMEM [Th+8, W+2*HALO, C_pad]
+    h1_ref,  # scratch VMEM [Th+4, W+4, C] f32 (dw output)
+    g_ref,  # scratch VMEM [(Th+2)*(W+2), Co] f32 (conv1+gelu output)
+    o_ref,  # scratch VMEM [Th*W, Co] f32 (conv2 accumulator)
     sem,  # DMA semaphore
     *,
     th: int,
@@ -70,25 +92,25 @@ def _conv_block_kernel(
 
     # DMA the (Th + 2*HALO)-row padded slice for this tile into VMEM.
     cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * th, th + 2 * HALO)], xt, sem
+        x_hbm.at[bi, pl.ds(i * th, th + 2 * HALO)], xt_ref, sem
     )
     cp.start()
     cp.wait()
 
-    dtype = xt.dtype
-    cond = cond_ref[0, :]  # [C]
+    dtype = xt_ref.dtype
+    cond = cond_ref[bi, :]  # [C]
 
     # depthwise 5x5 over the region needed by both 3x3 convs:
-    # output rows [Th+4], cols [W+4]
+    # output rows [Th+4], cols [W+4]. Accumulate into the f32 scratch ref
+    # (value-land SSA accumulation blows the compiler's VMEM liveness).
     hr, wc = th + 4, w + 4
-    acc = jnp.zeros((hr, wc, c), jnp.float32)
+    h1_ref[:, :, :] = jnp.zeros((hr, wc, c), jnp.float32)
     for di in range(5):
         for dj in range(5):
-            acc += (
-                xt[di : di + hr, dj : dj + wc, :].astype(jnp.float32)
+            h1_ref[:, :, :] += (
+                xt_ref[di : di + hr, dj : dj + wc, :c].astype(jnp.float32)
                 * wdw_ref[di * 5 + dj, :].astype(jnp.float32)
             )
-    h1 = acc + bdw_ref[0, :].astype(jnp.float32) + cond.astype(jnp.float32)
     # zero outside the true image: the reference's 'SAME' conv1 sees zero
     # padding there, not bias+cond (same invariant as the denoiser's
     # padded-mask mode)
@@ -96,60 +118,69 @@ def _conv_block_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (hr, wc), 1) - 2
     valid1 = (
         (row_ids >= 0) & (row_ids < h_true) & (col_ids >= 0) & (col_ids < w)
-    )
-    h1 = jnp.where(valid1[:, :, None], h1, 0.0)
-    h1 = h1.astype(dtype)  # [Th+4, W+4, C]
+    ).astype(jnp.float32)  # f32 before the minor-dim insert (Mosaic: no i1 reshape)
+    h1_ref[:, :, :] = (
+        h1_ref[:, :, :]
+        + bdw_ref[0, :].astype(jnp.float32)
+        + cond.astype(jnp.float32)
+    ) * valid1[:, :, None]
 
     # conv1 3x3: rows [Th+2], cols [W+2], as 9 shifted matmuls on the MXU
     hr2, wc2 = th + 2, w + 2
-    acc1 = jnp.zeros((hr2 * wc2, co), jnp.float32)
+    g_ref[:, :] = jnp.zeros((hr2 * wc2, co), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            patch = h1[di : di + hr2, dj : dj + wc2, :].reshape(hr2 * wc2, c)
-            acc1 += jnp.dot(
+            patch = h1_ref[di : di + hr2, dj : dj + wc2, :].reshape(
+                hr2 * wc2, c
+            ).astype(dtype)
+            g_ref[:, :] += jnp.dot(
                 patch, w1_ref[di * 3 + dj], preferred_element_type=jnp.float32
             )
-    g = _gelu(acc1 + b1_ref[0, :].astype(jnp.float32))
-    g = g.reshape(hr2, wc2, co)
     # zero outside the true image before conv2 (gelu(b1) != 0 in padding)
-    row_ids2 = jax.lax.broadcasted_iota(jnp.int32, (hr2, wc2), 0) + i * th - 1
-    col_ids2 = jax.lax.broadcasted_iota(jnp.int32, (hr2, wc2), 1) - 1
+    row_ids2 = jax.lax.broadcasted_iota(jnp.int32, (hr2 * wc2, 1), 0)
+    col_ids2 = row_ids2 % wc2 - 1
+    row_ids2 = row_ids2 // wc2 + i * th - 1
     valid2 = (
         (row_ids2 >= 0) & (row_ids2 < h_true) & (col_ids2 >= 0) & (col_ids2 < w)
+    ).astype(jnp.float32)
+    g_ref[:, :] = (
+        _gelu(g_ref[:, :] + b1_ref[0, :].astype(jnp.float32)) * valid2
     )
-    g = jnp.where(valid2[:, :, None], g, 0.0).astype(dtype)
 
-    # conv2 3x3: rows [Th], cols [W]
-    acc2 = jnp.zeros((th * w, co), jnp.float32)
+    # conv2 3x3: rows [Th], cols [W]; accumulate straight into a f32 scratch
+    o_ref[:, :] = jnp.broadcast_to(
+        b2_ref[0, :].astype(jnp.float32), (th * w, co)
+    )
+    g3 = g_ref.reshape(hr2, wc2, co)
     for di in range(3):
         for dj in range(3):
-            patch = g[di : di + th, dj : dj + w, :].reshape(th * w, co)
-            acc2 += jnp.dot(
+            patch = g3[di : di + th, dj : dj + w, :].reshape(th * w, co).astype(dtype)
+            o_ref[:, :] += jnp.dot(
                 patch, w2_ref[di * 3 + dj], preferred_element_type=jnp.float32
             )
-    out = acc2 + b2_ref[0, :].astype(jnp.float32)
 
     # residual from the tile's center region
-    x_center = xt[HALO : HALO + th, HALO : HALO + w, :]
+    x_center = xt_ref[HALO : HALO + th, HALO : HALO + w, :c]
     if identity_res:
-        res = x_center.reshape(th * w, c).astype(jnp.float32)
+        o_ref[:, :] += x_center.reshape(th * w, c).astype(jnp.float32)
     else:
-        res = (
+        o_ref[:, :] += (
             jnp.dot(
-                x_center.reshape(th * w, c),
+                x_center.reshape(th * w, c).astype(dtype),
                 wres_ref[:, :],
                 preferred_element_type=jnp.float32,
             )
             + bres_ref[0, :].astype(jnp.float32)
         )
-    out_ref[0, :, :, :] = (out + res).reshape(th, w, co).astype(dtype)
+    out_ref[0, :, :, :] = o_ref[:, :].reshape(th, w, co).astype(dtype)
 
 
 def _pick_tile(h: int, w: int, c: int, co: int, itemsize: int) -> int:
     """Largest Th (multiple of 8) keeping VMEM under ~12 MB."""
-    budget = 12 * 1024 * 1024
-    for th in (64, 48, 32, 24, 16, 8):
-        xt = (th + 8) * (w + 8) * c * itemsize
+    budget = 6 * 1024 * 1024
+    c_dma = -(-c // 128) * 128  # DMA staging uses the lane-padded width
+    for th in (32, 24, 16, 8):
+        xt = (th + 8) * (w + 8) * c_dma * itemsize
         h1 = (th + 4) * (w + 4) * c * 4
         g = (th + 2) * (w + 2) * co * 4
         o = th * w * co * 4
@@ -179,10 +210,13 @@ def fused_conv_block(
     identity_res = wres is None
     th = _pick_tile(h, w, c, co, x.dtype.itemsize)
     hp = -(-h // th) * th  # H padded to a tile multiple
+    # pad C to a 128-lane multiple: Mosaic DMA requires it (the zero
+    # channels are dropped right after the copy)
+    c_pad = -(-c // 128) * 128
 
     xp = jnp.pad(
-        x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO), (0, 0))
-    )  # [B, Hp+2*HALO, W+2*HALO, C]
+        x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO), (0, c_pad - c))
+    )
 
     wdw_f = wdw.reshape(25, c)
     w1_f = w1.reshape(9, c, co)
@@ -202,7 +236,7 @@ def fused_conv_block(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # whole array; see kernel
-            pl.BlockSpec((1, c), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cond [B, C], whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bdw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
@@ -216,8 +250,14 @@ def fused_conv_block(
             (1, th, w, co), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * HALO, w + 2 * HALO, c), x.dtype),
+            pltpu.VMEM((th + 2 * HALO, w + 2 * HALO, c_pad), x.dtype),
+            pltpu.VMEM((th + 4, w + 4, c), jnp.float32),
+            pltpu.VMEM(((th + 2) * (w + 2), co), jnp.float32),
+            pltpu.VMEM((th * w, co), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -173,6 +173,7 @@ class MultiscaleTrainer:
         self._rng = np.random.default_rng(seed + 1)
         self._step_fn = self._build_step_fn()
         self._chunk_fn = self._build_chunk_fn()
+        self._scale_chunk_fn = self._build_scale_chunk_fn()
 
     # ------------------------------------------------------------------
     # reference-shaped path: one jitted device call per train step
@@ -325,6 +326,96 @@ class MultiscaleTrainer:
 
         return chunk_fn
 
+    # ------------------------------------------------------------------
+    # grouped fused path: per-scale sub-chunks at TRUE shapes (no padding
+    # waste: ~2.5x fewer conv FLOPs than the padded canvas). Each chunk
+    # visits every scale once with n_steps / n_scales steps, in a shuffled
+    # order — deterministic uniform counts instead of the reference's
+    # i.i.d. multinomial scale draw (identical marginals; the reference's
+    # distribution is uniform anyway under train_full_t, trainer.py:193-197)
+    # ------------------------------------------------------------------
+    def _build_scale_chunk_fn(self):
+        model, sched, cfg = self.model, self.sched, self.cfg
+        opt = self.opt
+        loss_type = self.diff_cfg.loss_type
+        G = cfg.grad_accumulate
+        B = cfg.train_batch_size
+        batch_sharding = self._batch_sharding
+
+        if loss_type not in ("l1", "l2", "l1_pred_img"):
+            return None
+
+        @functools.partial(
+            jax.jit, static_argnames=("s", "n_steps"), donate_argnums=(0,)
+        )
+        def scale_chunk_fn(
+            state: TrainState, x_orig, x_blur, key, s: int, n_steps: int
+        ):
+            def one_step(state: TrainState, step_key):
+                def loss_fn(params):
+                    def model_fn(x, t, sc):
+                        x_in = (
+                            jax.lax.with_sharding_constraint(x, batch_sharding)
+                            if batch_sharding is not None
+                            else x
+                        )
+                        return model.apply({"params": params}, x_in, t, sc)
+
+                    keys = jax.random.split(step_key, G)
+                    losses = [
+                        training_loss(
+                            model_fn, sched, keys[g], x_orig, x_blur,
+                            s=s, batch_size=B, loss_type=loss_type,
+                        )
+                        for g in range(G)
+                    ]
+                    return jnp.mean(jnp.stack(losses))
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                updates, opt_state = opt.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                ema = _ema_update(state.ema_params, params, state.step, cfg)
+                return (
+                    TrainState(
+                        step=state.step + 1,
+                        params=params,
+                        ema_params=ema,
+                        opt_state=opt_state,
+                    ),
+                    loss,
+                )
+
+            keys = jax.random.split(key, n_steps)
+            state, losses = jax.lax.scan(one_step, state, keys)
+            return state, losses
+
+        return scale_chunk_fn
+
+    def train_chunk_grouped(self, n_steps: int) -> np.ndarray:
+        """n_steps fused steps as shuffled per-scale sub-chunks."""
+        assert self._scale_chunk_fn is not None
+        n_scales = self.pyramid.n_scales
+        per = max(n_steps // n_scales, 1)
+        order = self._rng.permutation(n_scales)
+        losses = []
+        done = 0
+        for idx, s in enumerate(order):
+            k = per if idx < n_scales - 1 else max(n_steps - done, 0)
+            k = min(k, n_steps - done)
+            if k <= 0:
+                break
+            self.key, sub = jax.random.split(self.key)
+            x_orig, x_blur = self.data_list[int(s)]
+            self.state, ls = self._scale_chunk_fn(
+                self.state, x_orig, x_blur, sub, int(s), int(k)
+            )
+            losses.append(np.asarray(ls))
+            self.running_scale.extend([int(s)] * int(k))
+            done += k
+        return np.concatenate(losses) if losses else np.zeros((0,))
+
     def train_chunk(self, n_steps: int) -> np.ndarray:
         """Run n_steps fused steps in one device call; returns the losses."""
         assert self._chunk_fn is not None, (
@@ -355,6 +446,9 @@ class MultiscaleTrainer:
         cfg = self.cfg
         loss_window: List[float] = []
         t0 = time.time()
+        grouped = (
+            cfg.fused_mode == "grouped" and self._scale_chunk_fn is not None
+        )
         while self.step < cfg.train_num_steps:
             if fused and self._chunk_fn is not None and cfg.steps_per_chunk > 1:
                 boundary = min(
@@ -364,7 +458,9 @@ class MultiscaleTrainer:
                     - self.step % cfg.save_and_sample_every,
                 )
                 n = min(cfg.steps_per_chunk, boundary - self.step)
-                losses = self.train_chunk(n)
+                losses = (
+                    self.train_chunk_grouped(n) if grouped else self.train_chunk(n)
+                )
                 loss_window.extend(losses.tolist())
             else:
                 loss_window.append(self.train_step())
@@ -409,6 +505,21 @@ class MultiscaleTrainer:
         (self.results_folder / f"model-{milestone}.loss.json").write_text(
             json.dumps({"running_loss": self.running_loss})
         )
+        # running-loss curve (reference trainer.py:171-177)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            plt.figure(figsize=(16, 8))
+            plt.plot(self.running_loss)
+            plt.grid(True)
+            plt.ylim((0, 0.2))
+            plt.savefig(str(self.results_folder / "running_loss.png"))
+            plt.close()
+        except Exception:
+            pass
 
     def load(self, milestone: int) -> None:
         import orbax.checkpoint as ocp

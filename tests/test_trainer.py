@@ -112,3 +112,28 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
                      tr.state.opt_state, tr2.state.opt_state)
     )
     assert opt_equal
+
+
+def test_grouped_chunk_descends_and_counts(tiny_setup):
+    from sinddm_tpu.config import DiffusionConfig, TrainConfig
+
+    model, sched, pyr = tiny_setup
+    cfg = TrainConfig(
+        train_batch_size=4, steps_per_chunk=20, fused_mode="grouped",
+        step_start_ema=10**9,
+    )
+    tr = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), "/tmp/test_tr_grp", seed=0
+    )
+    losses = tr.train_chunk_grouped(5 * pyr.n_scales)
+    assert losses.shape == (5 * pyr.n_scales,)
+    assert np.isfinite(losses).all()
+    assert tr.step == 5 * pyr.n_scales
+    # every scale visited exactly 5 times
+    import collections
+
+    counts = collections.Counter(tr.running_scale)
+    assert all(counts[s] == 5 for s in range(pyr.n_scales))
+    # more training reduces loss
+    l2 = tr.train_chunk_grouped(5 * pyr.n_scales)
+    assert np.mean(l2) < np.mean(losses)
