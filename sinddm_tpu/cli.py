@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["grouped", "padded"],
                    help="fused-chunk strategy (see TrainConfig)")
     p.add_argument("--use_pallas", action="store_true",
-                   help="use the fused Pallas conv-block kernels for sampling")
+                   help="EXPERIMENTAL: fused Pallas conv-block kernels for "
+                        "sampling (interpret-verified; current Mosaic "
+                        "lowering diverges on device — see denoiser.py)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--roi_bb", nargs="+", type=int, action="append",

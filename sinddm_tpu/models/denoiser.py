@@ -164,16 +164,19 @@ def compute_cond_vec(params, time, scale) -> jnp.ndarray:
 def apply_denoiser_pallas(
     params, x: jnp.ndarray, time, scale, *, interpret: bool = False
 ) -> jnp.ndarray:
-    """Optimized executor of :class:`SinDDMNet` over the same param tree.
+    """EXPERIMENTAL Pallas executor of :class:`SinDDMNet` (same param tree).
 
-    Each conv block runs as ONE fused Pallas kernel (depthwise 5x5 + cond
-    add + conv3x3 + GELU + conv3x3 + residual — single HBM read/write, MXU
-    matmuls from VMEM; see ``ops/pallas_conv.py``). Numerically equivalent
-    to ``SinDDMNet.apply`` (tested); use for the sampling/training hot path.
+    Each conv block runs as ONE fused kernel (depthwise 5x5 + cond add +
+    conv3x3 + GELU + conv3x3 + residual — single HBM read/write, MXU
+    matmuls from VMEM; see ``ops/pallas_conv.py``). Verified equivalent to
+    ``SinDDMNet.apply`` under the Pallas interpreter (tested); on current
+    Mosaic the lowering of sub-lane slices diverges numerically and runs
+    slower than XLA's conv emitter (which measures at ~77% of fp32 MXU
+    peak here), so this path is OFF by default — use for kernel R&D only.
     """
     from sinddm_tpu.ops.pallas_conv import conv_block_reference, fused_conv_block
 
-    cond = compute_cond_vec(params, time, scale)
+    cond = compute_cond_vec(params, time, scale).astype(x.dtype)
     for name in ("l1", "l2", "l3", "l4"):
         bp = params[name]
         cond_b = _dense(bp["cond_mlp"], jax.nn.gelu(cond, approximate=False))
