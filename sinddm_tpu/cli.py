@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the OpenCV ROI selector instead of flags")
     p.add_argument("--clip_weights", default=None,
                    help="path to CLIP ViT-B/32 weights (.pt or converted)")
+    p.add_argument("--load_reference_ckpt", default=None,
+                   help="import a reference PyTorch model-{milestone}.pt "
+                        "(denoiser + EMA weights) instead of --load_milestone")
     return p
 
 
@@ -161,7 +164,18 @@ def main(argv=None) -> None:
         model, sched, pyramid, train_cfg, diff_cfg, results_folder,
         seed=args.seed,
     )
-    if args.load_milestone > 0:
+    if args.load_reference_ckpt:
+        from sinddm_tpu.models.convert_reference import load_reference_checkpoint
+
+        ref_params, ref_ema, ref_step = load_reference_checkpoint(
+            args.load_reference_ckpt
+        )
+        trainer.state = trainer.state.replace(
+            params=ref_params, ema_params=ref_ema,
+            step=jnp.asarray(ref_step, jnp.int32),
+        )
+        print(f"imported reference checkpoint at step {ref_step}")
+    elif args.load_milestone > 0:
         trainer.load(args.load_milestone)
 
     key = jax.random.PRNGKey(args.seed + 777)

@@ -249,3 +249,19 @@ def test_collect_interm(sched, tiny_model):
     assert aux["interm"].shape == (10, 1, 12, 10, 3)
     # last collected frame == the returned output
     np.testing.assert_array_equal(np.asarray(aux["interm"][-1]), np.asarray(x))
+
+
+def test_via_scale_total_t_zero(sched, tiny_model):
+    """custom_t=0: forward-noise at t=0, empty reverse chain (i2i edge)."""
+    img = jnp.clip(jax.random.normal(jax.random.PRNGKey(31), (1, 12, 10, 3)), -1, 1)
+    x, carry, aux = sample_via_scale(
+        tiny_model, sched, img, jax.random.PRNGKey(32),
+        s=1, total_t=0, reblurring=True,
+    )
+    assert x.shape == img.shape
+    assert aux is None
+    # x = sqrt(abar_0) img + sqrt(1-abar_0) noise -> close to img
+    ac0 = float(sched.alphas_cumprod[0])
+    assert np.corrcoef(
+        np.asarray(x).ravel(), np.asarray(img).ravel()
+    )[0, 1] > 0.9

@@ -72,3 +72,26 @@ def test_resize_nearest_matches_torch():
         F.interpolate(xt, size=(23, 7), mode="nearest").permute(0, 2, 3, 1).numpy()
     )
     np.testing.assert_array_equal(out, expected)
+
+
+def test_augment_extra_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from sinddm_tpu.ops.augment_extra import (
+        borderless_random_perspective,
+        divisible_crop,
+        random_scale,
+        random_size_crop,
+        to_tensor_safe,
+    )
+
+    img = jnp.clip(jax.random.uniform(jax.random.PRNGKey(0), (37, 45, 3)), 0, 1)
+    assert random_scale(jax.random.PRNGKey(1), img, (32, 40)).shape == (32, 40, 3)
+    assert random_size_crop(jax.random.PRNGKey(2), img, (24, 24)).shape == (24, 24, 3)
+    assert divisible_crop(img, 8).shape == (32, 40, 3)
+    assert to_tensor_safe(np.full((5, 6), 255, np.uint8)).shape == (5, 6, 1)
+    assert float(to_tensor_safe(np.full((5, 6), 255, np.uint8)).max()) == 1.0
+    out = borderless_random_perspective(jax.random.PRNGKey(3), img)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
