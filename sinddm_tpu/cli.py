@@ -175,8 +175,8 @@ def main(argv=None) -> None:
             step=jnp.asarray(ref_step, jnp.int32),
         )
         print(f"imported reference checkpoint at step {ref_step}")
-    elif args.load_milestone > 0:
-        trainer.load(args.load_milestone)
+    elif args.load_milestone > 0 or args.load_milestone == -1:
+        trainer.load(args.load_milestone)  # -1 = resume latest
 
     key = jax.random.PRNGKey(args.seed + 777)
 

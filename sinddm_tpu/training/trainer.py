@@ -521,7 +521,25 @@ class MultiscaleTrainer:
         except Exception:
             pass
 
+    def latest_milestone(self) -> Optional[int]:
+        """Highest milestone with a checkpoint in results_folder (or None)."""
+        found = [
+            int(p.name.split("-")[1])
+            for p in self.results_folder.glob("model-*")
+            if p.is_dir() and p.name.split("-")[1].isdigit()
+        ]
+        return max(found) if found else None
+
     def load(self, milestone: int) -> None:
+        """Restore a milestone; milestone=-1 resumes from the latest one
+        (elastic-recovery convenience the reference lacks, SURVEY §5)."""
+        if milestone == -1:
+            latest = self.latest_milestone()
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.results_folder}"
+                )
+            milestone = latest
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(milestone)

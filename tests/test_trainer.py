@@ -137,3 +137,23 @@ def test_grouped_chunk_descends_and_counts(tiny_setup):
     # more training reduces loss
     l2 = tr.train_chunk_grouped(5 * pyr.n_scales)
     assert np.mean(l2) < np.mean(losses)
+
+
+def test_load_latest_milestone(tiny_setup, tmp_path):
+    from sinddm_tpu.config import DiffusionConfig, TrainConfig
+
+    model, sched, pyr = tiny_setup
+    cfg = TrainConfig(train_batch_size=2, steps_per_chunk=2)
+    tr = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), str(tmp_path), seed=0
+    )
+    tr.train_chunk_grouped(2)
+    tr.save(1)
+    tr.train_chunk_grouped(2)
+    tr.save(3)
+    tr2 = MultiscaleTrainer(
+        model, sched, pyr, cfg, DiffusionConfig(), str(tmp_path), seed=1
+    )
+    assert tr2.latest_milestone() == 3
+    tr2.load(-1)
+    assert tr2.step == tr.step
