@@ -9,7 +9,7 @@ The reference scatters hyperparameters between ~25 argparse flags
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

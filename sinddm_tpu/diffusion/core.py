@@ -31,7 +31,6 @@ specialization, exactly one per (shape, t-count) pair.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

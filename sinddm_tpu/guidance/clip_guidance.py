@@ -26,8 +26,7 @@ layer resizes the carry between scales and drops a scale-0 mask
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

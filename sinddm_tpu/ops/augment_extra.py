@@ -15,7 +15,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from sinddm_tpu.ops.resize import resize_bilinear
 from sinddm_tpu.ops.warp import (
     crop_resize_matrix,
     perspective_matrix,

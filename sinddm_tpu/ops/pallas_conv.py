@@ -29,7 +29,7 @@ denoiser can switch between them (``SinDDMNet(use_pallas=True)``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

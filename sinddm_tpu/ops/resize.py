@@ -16,7 +16,7 @@ upsampling (``SinDDM/models.py:567``) and guidance-state resizing
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ coords (the inverse map used by the sampler).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

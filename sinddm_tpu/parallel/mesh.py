@@ -19,7 +19,7 @@ Multi-host: the same mesh spans DCN by constructing it over
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
