@@ -193,11 +193,15 @@ class ClipExtractor:
     """Frozen CLIP + guidance losses. All heavy paths are jit/grad-safe."""
 
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
-                 affine_fill: float = 1.0):
+                 affine_fill: float = 1.0, remat: bool = True):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
         self.affine_fill = affine_fill
+        # rematerialize the view encoder on the backward pass: guidance
+        # differentiates through B x n_aug ViT forwards — without remat a
+        # real ViT-B/32 at batch 16 holds ~GBs of activations
+        self.remat = remat
         self.cfg = {"n_aug": n_aug}
 
     # -- text ----------------------------------------------------------
@@ -231,9 +235,15 @@ class ClipExtractor:
         )(x01, keys)  # [B, n_aug, ch, cw, 3]
         bn = B * self.n_aug
         flat = views.reshape((bn,) + views.shape[2:])
-        embs = self.model.apply(
-            self.variables, clip_normalize(flat), method=self.model.encode_image
-        )
+
+        def encode(v):
+            return self.model.apply(
+                self.variables, clip_normalize(v), method=self.model.encode_image
+            )
+
+        if self.remat:
+            encode = jax.checkpoint(encode)
+        embs = encode(flat)
         return embs.reshape(B, self.n_aug, -1)
 
     # -- loss ----------------------------------------------------------
