@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_reference_ckpt", default=None,
                    help="import a reference PyTorch model-{milestone}.pt "
                         "(denoiser + EMA weights) instead of --load_milestone")
+    p.add_argument("--load_checkpoint", default=None,
+                   help="load an orbax checkpoint directory by path "
+                        "(e.g. checkpoints/balloons-60k)")
     return p
 
 
@@ -175,6 +178,8 @@ def main(argv=None) -> None:
             step=jnp.asarray(ref_step, jnp.int32),
         )
         print(f"imported reference checkpoint at step {ref_step}")
+    elif args.load_checkpoint:
+        trainer.load_path(args.load_checkpoint)
     elif args.load_milestone > 0 or args.load_milestone == -1:
         trainer.load(args.load_milestone)  # -1 = resume latest
 

@@ -539,9 +539,15 @@ class MultiscaleTrainer:
                     f"no checkpoints under {self.results_folder}"
                 )
             milestone = latest
+        self.load_path(self._ckpt_dir(milestone))
+        loss_file = self.results_folder / f"model-{milestone}.loss.json"
+        if loss_file.exists():
+            self.running_loss = json.loads(loss_file.read_text())["running_loss"]
+
+    def load_path(self, path) -> None:
+        """Restore state from any orbax checkpoint directory."""
         import orbax.checkpoint as ocp
 
-        path = self._ckpt_dir(milestone)
         ckptr = ocp.StandardCheckpointer()
         template = {
             "step": self.state.step,
@@ -549,16 +555,13 @@ class MultiscaleTrainer:
             "ema": self.state.ema_params,
             "opt_state": self.state.opt_state,
         }
-        restored = ckptr.restore(path, template)
+        restored = ckptr.restore(Path(path).absolute(), template)
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],
             ema_params=restored["ema"],
             opt_state=restored["opt_state"],
         )
-        loss_file = self.results_folder / f"model-{milestone}.loss.json"
-        if loss_file.exists():
-            self.running_loss = json.loads(loss_file.read_text())["running_loss"]
 
     # ------------------------------------------------------------------
     def ema_model_fn(self):
