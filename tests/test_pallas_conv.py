@@ -73,3 +73,25 @@ def test_pallas_denoiser_matches_flax():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-4, rtol=3e-4
     )
+
+
+def test_depthwise_kernel_matches_oracle():
+    """Device-verified dw kernel vs a float64 numpy oracle (interpret here)."""
+    from sinddm_tpu.ops.pallas_dw import depthwise_conv5x5
+
+    B, H, W, C = 2, 20, 28, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+    wdw = jax.random.normal(jax.random.PRNGKey(1), (5, 5, C)) * 0.2
+    bias = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.1
+    out = depthwise_conv5x5(x, wdw, bias, tile_h=8, interpret=True)
+
+    xn = np.asarray(x, np.float64)
+    xpad = np.pad(xn, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    oracle = np.zeros((B, H, W, C))
+    for di in range(5):
+        for dj in range(5):
+            oracle += xpad[:, di : di + H, dj : dj + W, :] * np.asarray(
+                wdw, np.float64
+            )[di, dj]
+    oracle += np.asarray(bias, np.float64)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-5)
