@@ -1,22 +1,31 @@
-"""Benchmark: full-pyramid 16-image sample of 'balloons' on one TPU chip.
+"""Benchmark: the BASELINE.md metric set on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+Prints ONE JSON line whose primary fields are the headline metric
+(full-pyramid 16-image sample of 'balloons', target < 5 s on v5e-1,
+``vs_baseline`` = 5.0 / value) and whose extra fields carry the rest of
+the BASELINE.md targets table:
 
-The baseline is the BASELINE.json north star: full-pyramid sample, batch
-16, 'balloons', < 5 s wall-clock on TPU v5e-1. vs_baseline = 5.0 / value
-(>1 means beating the target). The model is the reference-default denoiser
-(dim=160); sampling cost is weight-independent, so random-init EMA weights
-time identically to trained ones.
+* ``per_scale_sample`` — p_sample steps/s per pyramid scale (scale 0 runs
+  the full T=100 reverse chain; finer scales run num_timesteps_ideal[s]),
+* ``train_steps_per_s`` — fused-grouped training throughput at the
+  reference schedule shape (dim=160, batch 32, 250 steps/device call),
+* ``ref_cpu`` + speedups — the PyTorch reference measured on this host's
+  CPU by ``benchmarks/ref_cpu_baseline.py`` (committed as
+  ``benchmarks/ref_cpu.json``; sampling cost is weight-independent), the
+  denominator for the ">=20x PyTorch-CPU" north star.
 
-Compile time is excluded (one warm-up pyramid run), matching how the
-reference's per-step GPU timing excludes CUDA context setup; compile and
-extra stats go to stderr.
+The model is the reference-default denoiser (dim=160); random-init EMA
+weights time identically to trained ones. Compile time is excluded (one
+warm-up run per computation); compile and extra stats go to stderr.
+
+Env knobs (dev only; the driver runs plain `python bench.py`):
+  SINDDM_BENCH_SKIP_TRAIN=1  skip the train-throughput section.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +36,11 @@ def main() -> None:
 
     from sinddm_tpu import build_pyramid, make_schedules
     from sinddm_tpu.apps import sample_scales
+    from sinddm_tpu.apps.sampling import (
+        jit_sample_scale0,
+        jit_sample_via_scale,
+        via_scale_size,
+    )
     from sinddm_tpu.models import SinDDMNet
 
     t_setup = time.time()
@@ -45,11 +59,14 @@ def main() -> None:
     )["params"]
     print(f"setup {time.time()-t_setup:.1f}s devices={jax.devices()}", file=sys.stderr)
 
+    B = 16
+    t_list = list(sched.num_timesteps_ideal[1:])
+
     def run(seed: int):
         outs = sample_scales(
             model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(seed),
             scale_factor=pyr.scale_factor, n_scales=pyr.n_scales,
-            batch_size=16, custom_sample=True,
+            batch_size=B, custom_sample=True,
         )
         # force execution with a scalar device->host sync:
         # block_until_ready() returns early on the tunneled axon backend
@@ -68,18 +85,99 @@ def main() -> None:
         run(i + 1)
         times.append(time.time() - t0)
     value = float(np.median(times))
-    print(f"runs: {[round(t, 4) for t in times]}", file=sys.stderr)
+    print(f"headline runs: {[round(t, 4) for t in times]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_pyramid_sample_batch16_balloons",
-                "value": round(value, 4),
-                "unit": "s",
-                "vs_baseline": round(5.0 / value, 2),
-            }
-        )
-    )
+    # ---- per-scale p_sample steps/s (warm jit cache from run()) ---------
+    per_scale = {}
+    prev = None
+    for s in range(pyr.n_scales):
+        reps = []
+        steps = 100 if s == 0 else int(t_list[s - 1])
+        for rep in range(3):
+            sub = jax.random.PRNGKey(1000 + rep)
+            t0 = time.time()
+            if s == 0:
+                x, _, _ = jit_sample_scale0(
+                    model, params, sched, sub, (B, h0, w0, 3), 0, 0, 0.0
+                )
+            else:
+                size_hw = via_scale_size(
+                    pyr.sizes_hw, s=s, n_scales=pyr.n_scales,
+                    scale_factor=pyr.scale_factor, custom_sample=True,
+                    custom_img_size_idx=s,
+                )
+                x, _, _ = jit_sample_via_scale(
+                    model, params, sched, prev, sub, size_hw, s, steps, 0,
+                    True, 0.0,
+                )
+            float(x.sum())
+            reps.append(time.time() - t0)
+        prev = x
+        dt = float(np.median(reps))
+        per_scale[f"s{s}"] = {
+            "steps": steps,
+            "hw": list(x.shape[1:3]),
+            "s_per_scale": round(dt, 4),
+            "steps_per_s": round(steps / dt, 1),
+        }
+    print(f"per-scale: {per_scale}", file=sys.stderr)
+
+    # ---- train throughput (fused grouped chunks, reference shape) -------
+    train_sps = None
+    if not os.environ.get("SINDDM_BENCH_SKIP_TRAIN"):
+        import shutil
+        import tempfile
+
+        from sinddm_tpu.config import DiffusionConfig, TrainConfig
+        from sinddm_tpu.training import MultiscaleTrainer
+
+        tmp = tempfile.mkdtemp(prefix="bench_train_")
+        try:
+            tr = MultiscaleTrainer(
+                model, sched, pyr,
+                TrainConfig(train_batch_size=32, steps_per_chunk=250),
+                DiffusionConfig(), tmp,
+            )
+            t0 = time.time()
+            tr.train_chunk_grouped(250)  # compiles all 5 per-scale chunk fns
+            float(jax.tree.leaves(tr.state.params)[0].sum())
+            print(f"train compile+chunk {time.time()-t0:.1f}s", file=sys.stderr)
+            t0 = time.time()
+            for _ in range(2):
+                tr.train_chunk_grouped(250)
+            float(jax.tree.leaves(tr.state.params)[0].sum())
+            train_sps = 500.0 / (time.time() - t0)
+            print(f"train {train_sps:.1f} steps/s", file=sys.stderr)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- reference-CPU comparison (measured on this host, committed) ----
+    ref = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "ref_cpu.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+
+    out = {
+        "metric": "full_pyramid_sample_batch16_balloons",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / value, 2),
+        "per_scale_sample": per_scale,
+    }
+    if train_sps is not None:
+        out["train_steps_per_s"] = round(train_sps, 1)
+    if ref is not None:
+        ref_s = ref["full_pyramid_sample_batch16_balloons_s"]
+        out["ref_cpu_sample_s"] = ref_s
+        out["speedup_vs_ref_cpu_sample"] = round(ref_s / value, 1)
+        if train_sps is not None and ref.get("train_steps_per_s"):
+            out["ref_cpu_train_steps_per_s"] = ref["train_steps_per_s"]
+            out["speedup_vs_ref_cpu_train"] = round(
+                train_sps / ref["train_steps_per_s"], 1
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,196 @@
+"""TPU microbenchmarks for the denoiser's hot ops (round-2 perf work).
+
+Questions (NOTES_NEXT_ROUND / VERDICT item 4):
+1. Can single-pass bf16 beat XLA's fp32 conv (which is bf16x3 on the MXU:
+   3 passes for ~1e-2-accurate fp32 emulation)? XLA's own bf16 conv
+   emitter was measured slow (6.5 ms vs the 2.7 ms roofline) — try the
+   conv-as-9-shifted-matmuls formulation, which XLA lowers through its
+   (good) dot emitter instead of its (bad) conv emitter.
+2. Is the double-buffered Pallas depthwise kernel now faster than XLA?
+3. Does the remote compile service parallelize? (guided-mode compile
+   mitigation: precompile per-scale executables concurrently)
+
+Run on the real chip, nothing else using the TPU:
+  python benchmarks/tpu_conv_experiments.py [--section conv|dw|full|compile]
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import sys
+import time
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def timeit(fn, *args, reps=10):
+    fn(*args)  # compile + warm
+    sync(fn(*args))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    return (time.time() - t0) / reps
+
+
+def conv3x3_dot(x, w):
+    """3x3 'SAME' conv as 9 shifted matmuls (MXU dot emitter path)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            xs = xp[:, di : di + h, dj : dj + wd, :].reshape(-1, c)
+            y = jax.lax.dot_general(
+                xs, w[di, dj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    return acc.reshape(b, h, wd, -1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", default="all")
+    ap.add_argument("--B", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    B, H, W, C = args.B, 186, 248, 160
+    key = jax.random.PRNGKey(0)
+    x32 = jax.random.normal(key, (B, H, W, C), jnp.float32)
+    w32 = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C)) * 0.05
+    x16, w16 = x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+    flops = B * H * W * 9 * C * C * 2
+
+    def conv_xla(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    if args.section in ("all", "conv"):
+        for name, fn, a in [
+            ("conv_xla_fp32", jax.jit(conv_xla), (x32, w32)),
+            ("conv_xla_bf16", jax.jit(conv_xla), (x16, w16)),
+            ("conv_dot_bf16", jax.jit(conv3x3_dot), (x16, w16)),
+            ("conv_dot_fp32", jax.jit(conv3x3_dot), (x32, w32)),
+        ]:
+            dt = timeit(fn, *a)
+            print(f"{name}: {dt*1e3:.2f} ms  {flops/dt/1e12:.1f} TFLOP/s",
+                  flush=True)
+        # accuracy vs float64 oracle (small slice)
+        xs = np.asarray(x32[:1], np.float64)
+        ws = np.asarray(w32, np.float64)
+        ref = np.asarray(
+            jax.jit(conv_xla, backend="cpu")(jnp.asarray(xs), jnp.asarray(ws))
+        )
+        for name, fn, a in [
+            ("xla_fp32", jax.jit(conv_xla), (x32[:1], w32)),
+            ("dot_bf16", jax.jit(conv3x3_dot), (x16[:1], w16)),
+        ]:
+            got = np.asarray(fn(*a), np.float64)
+            err = np.abs(got - ref).max() / np.abs(ref).max()
+            print(f"accuracy {name}: rel_err={err:.2e}", flush=True)
+
+    if args.section in ("all", "dw"):
+        from sinddm_tpu.ops.pallas_dw import depthwise_conv5x5
+
+        wdw = jax.random.normal(jax.random.PRNGKey(2), (5, 5, C)) * 0.05
+        bias = jnp.zeros((C,))
+        wdw4 = wdw[..., None]  # HWIO grouped
+
+        def dw_xla(x):
+            return (
+                jax.lax.conv_general_dilated(
+                    x, wdw4, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=C,
+                )
+                + bias
+            )
+
+        for Bi in (4, 16):
+            xi = x32[:Bi]
+            dt = timeit(jax.jit(dw_xla), xi)
+            print(f"dw_xla_fp32 B={Bi}: {dt*1e3:.2f} ms", flush=True)
+            for th in (16, 32):
+                fn = jax.jit(
+                    lambda xx, th=th: depthwise_conv5x5(xx, wdw, bias, tile_h=th)
+                )
+                dt = timeit(fn, xi)
+                print(f"dw_pallas_dbuf th={th} B={Bi}: {dt*1e3:.2f} ms",
+                      flush=True)
+
+    if args.section in ("all", "full"):
+        from sinddm_tpu.models import SinDDMNet
+
+        for dtype, name in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+            model = SinDDMNet(dim=160, compute_dtype=dtype)
+            xin = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+            t = jnp.zeros((B,), jnp.int32)
+            params = model.init(key, xin, t, jnp.asarray(0.0))["params"]
+
+            def fwd(p, xx, tt):
+                return model.apply({"params": p}, xx, tt, jnp.asarray(4.0))
+
+            dt = timeit(jax.jit(fwd), params, xin, t)
+            print(f"full_forward_{name}: {dt*1e3:.2f} ms", flush=True)
+
+    if args.section in ("all", "compile"):
+        import threading
+
+        def build(hw):
+            h, w = hw
+
+            def f(a, b):
+                return jnp.tanh(
+                    jax.lax.conv_general_dilated(
+                        a, b, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                ) * jnp.cos(a)
+
+            a = jnp.zeros((2, h, w, 64))
+            b = jnp.zeros((3, 3, 64, 64))
+            return jax.jit(f), (a, b)
+
+        shapes = [(96 + 8 * i, 128 + 8 * i) for i in range(4)]
+        t0 = time.time()
+        f0, a0 = build(shapes[0])
+        f0.lower(*a0).compile()
+        serial_one = time.time() - t0
+        print(f"compile serial one: {serial_one:.1f}s", flush=True)
+        t0 = time.time()
+        threads = []
+        for hw in shapes[1:]:
+            f, a = build(hw)
+            th = threading.Thread(target=lambda f=f, a=a: f.lower(*a).compile())
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+        par_three = time.time() - t0
+        print(
+            f"compile 3 concurrent: {par_three:.1f}s "
+            f"({'parallel' if par_three < 2 * serial_one else 'serialized'})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,7 @@ def clip_sampling(
     start_noise: bool = True,
     reblurring: bool = False,
     omega: float = 0.0,
+    sharding=None,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
     """Returns (per-scale outputs, per-scale aux with clip scores)."""
     n = pyramid.n_scales
@@ -106,7 +107,7 @@ def clip_sampling(
             start_noise=False, start_image=pyramid.images[n - 2],
             reblurring=reblurring, omega=omega,
             guidance_factory=guidance_factory, carry_transform=carry_transform,
-            collect_aux=aux,
+            collect_aux=aux, sharding=sharding,
         )
     else:
         outputs = sample_scales(
@@ -116,7 +117,7 @@ def clip_sampling(
             custom_t_list=custom_t_list, custom_sample=False,
             reblurring=reblurring, omega=omega,
             guidance_factory=guidance_factory, carry_transform=carry_transform,
-            collect_aux=aux,
+            collect_aux=aux, sharding=sharding,
         )
     return outputs, aux
 
@@ -196,18 +197,21 @@ def clip_roi_sampling(
 
 def run_clip_mode(
     args, model, trainer, sched: Schedules, pyramid: Pyramid, key,
-    sample_t_list, scale_mul, results_folder,
+    sample_t_list, scale_mul, results_folder, sharding=None,
 ) -> None:
     """CLI dispatcher for the four CLIP modes (reference main.py:153-255)."""
-    from sinddm_tpu.models.clip.convert import load_clip
+    from sinddm_tpu.models.clip.convert import find_clip_weights, load_clip
     from sinddm_tpu.ops.image_io import save_image
 
-    if not args.clip_weights:
+    weights = args.clip_weights or find_clip_weights()
+    if not weights:
         raise SystemExit(
-            "CLIP modes need --clip_weights pointing at a ViT-B/32 checkpoint "
-            "(this environment cannot download it)."
+            "CLIP modes need a ViT-B/32 checkpoint: pass --clip_weights, or "
+            "drop the file at one of the sniffed paths (SINDDM_CLIP_WEIGHTS, "
+            "checkpoints/ViT-B-32.pt, ~/.cache/clip/ViT-B-32.pt — see "
+            "docs/REAL_CLIP.md; this environment cannot download it)."
         )
-    clip_model, clip_vars = load_clip(args.clip_weights)
+    clip_model, clip_vars = load_clip(weights)
     extractor = ClipExtractor(clip_model, clip_vars, n_aug=16)
     n = pyramid.n_scales
     params = trainer.state.ema_params
@@ -267,7 +271,8 @@ def run_clip_mode(
         model, params, sched, pyramid, extractor, key,
         sample_batch_size=args.sample_batch_size,
         custom_t_list=sample_t_list, stop_guidance=3,
-        scale_mul=scale_mul, reblurring=False, omega=args.omega, **cfg,
+        scale_mul=scale_mul, reblurring=False, omega=args.omega,
+        sharding=sharding, **cfg,
     )
     desc = f"{args.mode}_{args.clip_text.replace(' ', '_')}"
     for i, out in enumerate(outputs):

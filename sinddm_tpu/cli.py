@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_t_list", nargs="+", type=int)
     # device
     p.add_argument("--device_num", default=0, type=int)
+    p.add_argument("--mesh_data", default=1, type=int,
+                   help="devices on the 'data' (batch) mesh axis; "
+                        "mesh_data*mesh_spatial devices are used (1 1 = no mesh)")
+    p.add_argument("--mesh_spatial", default=1, type=int,
+                   help="devices on the 'spatial' (image H) mesh axis")
     # dev
     p.add_argument("--sample_limited_t", action="store_true")
     p.add_argument("--omega", default=0, type=float)
@@ -119,6 +124,21 @@ def main(argv=None) -> None:
     from sinddm_tpu.training import MultiscaleTrainer
 
     print(f"devices: {jax.devices()}")
+    mesh = None
+    sample_sharding = None
+    n_mesh = args.mesh_data * args.mesh_spatial
+    if n_mesh > 1:
+        from sinddm_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        if len(jax.devices()) < n_mesh:
+            raise SystemExit(
+                f"--mesh_data {args.mesh_data} x --mesh_spatial "
+                f"{args.mesh_spatial} needs {n_mesh} devices; only "
+                f"{len(jax.devices())} visible"
+            )
+        mesh = make_mesh(jax.devices()[:n_mesh], spatial=args.mesh_spatial)
+        sample_sharding = batch_sharding(mesh)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     scale_mul = (args.scale_mul[0], args.scale_mul[1])
     results_folder = os.path.join(args.results_folder, args.scope)
 
@@ -165,7 +185,7 @@ def main(argv=None) -> None:
     )
     trainer = MultiscaleTrainer(
         model, sched, pyramid, train_cfg, diff_cfg, results_folder,
-        seed=args.seed,
+        seed=args.seed, mesh=mesh,
     )
     if args.load_reference_ckpt:
         from sinddm_tpu.models.convert_reference import load_reference_checkpoint
@@ -191,7 +211,8 @@ def main(argv=None) -> None:
             scale_factor=pyramid.scale_factor, n_scales=pyramid.n_scales,
             batch_size=args.sample_batch_size, scale_mul=scale_mul,
             custom_t_list=sample_t_list, sample_limited_t=args.sample_limited_t,
-            omega=args.omega, use_pallas=args.use_pallas, **kw,
+            omega=args.omega, use_pallas=args.use_pallas,
+            sharding=sample_sharding, **kw,
         )
         final_dir = Path(results_folder) / "final_samples"
         stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")
@@ -310,7 +331,7 @@ def main(argv=None) -> None:
 
         run_clip_mode(
             args, model, trainer, sched, pyramid, key, sample_t_list,
-            scale_mul, results_folder,
+            scale_mul, results_folder, sharding=sample_sharding,
         )
     else:
         raise NotImplementedError(args.mode)

@@ -131,6 +131,32 @@ def load_clip(path: str):
     return model, {"params": convert_state_dict(sd, cfg)}
 
 
+def find_clip_weights() -> "str | None":
+    """Sniff for a real ViT-B/32 checkpoint at the documented paths.
+
+    Zero-egress environments cannot download the weights (reference
+    ``clip/clip.py:42-71`` downloads with a SHA256 check); the moment a
+    file appears at any of these locations, every CLIP mode and the
+    CLIP-feature SIFID run against it with no code changes (see
+    docs/REAL_CLIP.md):
+
+    1. ``$SINDDM_CLIP_WEIGHTS``
+    2. ``<repo>/checkpoints/ViT-B-32.pt``
+    3. ``~/.cache/clip/ViT-B-32.pt`` (the reference's own download dir)
+    """
+    import os
+
+    candidates = [os.environ.get("SINDDM_CLIP_WEIGHTS")]
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.abspath(os.path.join(here, "..", "..", ".."))
+    candidates.append(os.path.join(repo, "checkpoints", "ViT-B-32.pt"))
+    candidates.append(os.path.expanduser("~/.cache/clip/ViT-B-32.pt"))
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
 def random_clip_params(cfg: CLIPConfig, seed: int = 0):
     """Random-init params of the right shapes (test fixture)."""
     model = CLIPModel(cfg)

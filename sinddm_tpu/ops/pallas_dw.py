@@ -12,10 +12,11 @@ must be 8-aligned in the sublane (W) dim and 128-aligned in the lane (C)
 dim, and the kernel must never read partial lanes — C is zero-padded to a
 128 multiple end-to-end and sliced off on the host.
 
-Current status: un-pipelined (one blocking DMA per tile), measured ~7.6 ms
-vs XLA's 5.8 ms at [4,186,248,160] under chip contention — the precision
-is the win today; double-buffering is the round-2 item (see
-NOTES_NEXT_ROUND.md).
+Round-2: the input DMA is double-buffered across grid steps (TPU grids run
+sequentially, so scratch persists between steps — the standard Pallas
+pipelining pattern): step k waits on the tile it prefetched at step k-1
+and immediately starts the DMA for step k+1, hiding HBM latency behind
+the 25-tap VPU accumulation.
 """
 
 from __future__ import annotations
@@ -28,22 +29,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dw_kernel(x_hbm, w_ref, b_ref, out_ref, xt_ref, sem, *, th, w, cpad):
-    bi = pl.program_id(0)
-    i = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * th, th + 4)], xt_ref, sem
-    )
-    cp.start()
-    cp.wait()
+def _dw_kernel(x_hbm, w_ref, b_ref, out_ref, xt_ref, sem, *, th, w, cpad, nh):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    def dma(k, slot):
+        bi = k // nh
+        i = k % nh
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(i * th, th + 4)], xt_ref.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(step, slot).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma(step + 1, nxt).start()
+
+    dma(step, slot).wait()
     acc = jnp.zeros((th, w, cpad), jnp.float32)
     for di in range(5):
         for dj in range(5):
             acc += (
-                xt_ref[di : di + th, dj : dj + w, :].astype(jnp.float32)
+                xt_ref[slot, di : di + th, dj : dj + w, :].astype(jnp.float32)
                 * w_ref[di * 5 + dj, :].astype(jnp.float32)
             )
-    out_ref[0] = (acc + b_ref[0, :].astype(jnp.float32)).astype(xt_ref.dtype)
+    out_ref[0] = (acc + b_ref[0, :].astype(jnp.float32)).astype(x_hbm.dtype)
 
 
 def depthwise_conv5x5(
@@ -64,25 +80,27 @@ def depthwise_conv5x5(
     xp = jnp.pad(x, ((0, 0), (2, 2 + hp - h), (2, 2 + wpad), (0, cpad - c)))
     wf = jnp.pad(wdw.reshape(25, c), ((0, 0), (0, cpad - c)))
     bf = jnp.pad(bias.reshape(1, c), ((0, 0), (0, cpad - c)))
+    nh = hp // th
     out = pl.pallas_call(
-        functools.partial(_dw_kernel, th=th, w=w, cpad=cpad),
-        grid=(b, hp // th),
+        functools.partial(_dw_kernel, th=th, w=w, cpad=cpad, nh=nh),
+        grid=(b * nh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w, cpad), lambda bi, i: (bi, i, 0, 0),
+            (1, th, w, cpad), lambda k: (k // nh, k % nh, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, cpad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, w + 4 + wpad, cpad), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 4, w + 4 + wpad, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(xp, wf, bf)

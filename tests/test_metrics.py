@@ -48,3 +48,27 @@ def test_sifid_batch_shape():
     out = sifid_batch(real, fakes, conv_feature_extractor(dim=16))
     assert out.shape == (3,)
     assert (out > 0).all()
+
+
+def test_sifid_proxy_rank_stability():
+    """Independent random feature maps rank a graded corruption series
+    identically — the measurable basis for the random-proxy claim in
+    metrics.py (full sweep incl. tiny-CLIP features:
+    benchmarks/sifid_correlation.py; real-CLIP upgrade:
+    tests/test_real_clip.py)."""
+    from scipy import stats
+
+    rng = np.random.default_rng(3)
+    real = np.tanh(
+        np.cumsum(rng.normal(0, 0.3, (40, 40, 3)), axis=0)
+    ).astype(np.float32)  # smooth-ish "natural" base
+    series = [
+        np.clip(real + s * rng.standard_normal(real.shape), -1, 1)
+        for s in (0.05, 0.15, 0.3, 0.6, 1.0)
+    ]
+    f_a = conv_feature_extractor(dim=32, seed=0)
+    f_b = conv_feature_extractor(dim=48, seed=7)
+    sa = [sifid(real, x, f_a) for x in series]
+    sb = [sifid(real, x, f_b) for x in series]
+    assert sa == sorted(sa)  # monotone in corruption
+    assert stats.spearmanr(sa, sb).statistic > 0.99

@@ -133,3 +133,60 @@ def test_spatial_sharding_conv_halo_correct(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     # output is actually sharded over the mesh
     assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_guided_sampling_matches_single_device(setup):
+    """CLIP-guided sampling under a mesh == single-device (VERDICT weak 6):
+    the guidance hook (jax.grad through the CLIP tower, thresholded-grad
+    mask, carry threading) must survive batch sharding."""
+    from sinddm_tpu.apps.clip_apps import clip_sampling
+    from sinddm_tpu.guidance.clip_extractor import ClipExtractor
+    from sinddm_tpu.models.clip.convert import random_clip_params
+    from sinddm_tpu.models.clip.model import tiny_clip_config
+
+    model, sched, pyr = setup
+    h0, w0 = pyr.sizes_hw[0]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, w0, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
+    )["params"]
+    clip_model, clip_vars = random_clip_params(tiny_clip_config(), seed=0)
+    extractor = ClipExtractor(clip_model, clip_vars, n_aug=2)
+
+    kwargs = dict(
+        text_input="a photo",
+        strength=0.2,
+        sample_batch_size=4,
+        custom_t_list=[3] * (pyr.n_scales - 1),
+        guidance_sub_iters=[0] + [1] * (pyr.n_scales - 1),
+        quantile=0.5,
+        llambda=0.2,
+        stop_guidance=2,
+    )
+    outs_single, aux_single = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(11), **kwargs
+    )
+    mesh = make_mesh(spatial=1)
+    shd = NamedSharding(mesh, P("data", None, None, None))
+    outs_shard, aux_shard = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(11),
+        sharding=shd, **kwargs,
+    )
+    # the thresholded-grad mask is a hard quantile threshold: sharded
+    # reduction order can flip knife-edge pixels, which the iterated
+    # guidance then amplifies to ~3e-3 on a handful of elements — so
+    # assert close-overall rather than bitwise
+    for a, b in zip(outs_single, outs_shard):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b)
+        assert np.mean(diff > 1e-4) < 0.005, "bulk of pixels must match tightly"
+        assert diff.max() < 0.1, "knife-edge flips stay small"
+    # guided: clip scores present and matching
+    s1 = np.concatenate(
+        [np.asarray(a["clip_score"]).reshape(-1) for a in aux_single[1:]]
+    )
+    s2 = np.concatenate(
+        [np.asarray(a["clip_score"]).reshape(-1) for a in aux_shard[1:]]
+    )
+    assert s1.size > 0 and np.isfinite(s1).all()
+    np.testing.assert_allclose(s1, s2, atol=1e-3)
