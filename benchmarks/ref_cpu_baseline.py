@@ -39,6 +39,105 @@ def main() -> None:
     import numpy as np
     import torch
 
+    # skimage is not installed in this image; the reference imports it at
+    # module scope (functions.py:3, trainer.py:20) but the sampling/train
+    # paths measured here never call it. Provide a scipy-backed stub so
+    # the reference runs untouched.
+    if "skimage" not in sys.modules:
+        import types
+
+        from scipy import ndimage
+
+        sk = types.ModuleType("skimage")
+        morph = types.ModuleType("skimage.morphology")
+        filt = types.ModuleType("skimage.filters")
+        expo = types.ModuleType("skimage.exposure")
+
+        def _disk(r):
+            yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+            return (yy * yy + xx * xx <= r * r).astype(np.uint8)
+
+        morph.disk = _disk
+        morph.binary_dilation = lambda img, footprint=None: ndimage.binary_dilation(
+            img, structure=footprint
+        )
+        filt.gaussian = lambda img, sigma=1.0, **kw: ndimage.gaussian_filter(
+            np.asarray(img, np.float64), sigma=sigma
+        )
+
+        def _match_histograms(*a, **kw):
+            raise NotImplementedError("not exercised by this benchmark")
+
+        expo.match_histograms = _match_histograms
+        sk.morphology, sk.filters, sk.exposure = morph, filt, expo
+        sys.modules.update(
+            {
+                "skimage": sk,
+                "skimage.morphology": morph,
+                "skimage.filters": filt,
+                "skimage.exposure": expo,
+            }
+        )
+
+    # torchvision (CPU wheel) is likewise absent; the reference needs only
+    # transforms.{Compose,ToTensor,Lambda} and utils.save_image on the
+    # measured paths — provide PIL-backed equivalents.
+    if "torchvision" not in sys.modules:
+        import types
+
+        from PIL import Image
+
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        ut = types.ModuleType("torchvision.utils")
+
+        class _Compose:
+            def __init__(self, fns):
+                self.fns = fns
+
+            def __call__(self, x):
+                for f in self.fns:
+                    x = f(x)
+                return x
+
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic, np.float32) / 255.0
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+        tr.Compose, tr.ToTensor, tr.Lambda = _Compose, _ToTensor, (lambda f: f)
+
+        def _save_image(tensor, path, nrow=8, **kw):
+            t = tensor.detach().cpu().float().clamp(0, 1)
+            if t.dim() == 3:
+                t = t[None]
+            b, c, h, w = t.shape
+            ncol = min(nrow, b)
+            nr = -(-b // ncol)
+            grid = np.zeros((c, nr * (h + 2) + 2, ncol * (w + 2) + 2), np.float32)
+            for i in range(b):
+                r, col = divmod(i, ncol)
+                grid[
+                    :, r * (h + 2) + 2 : r * (h + 2) + 2 + h,
+                    col * (w + 2) + 2 : col * (w + 2) + 2 + w,
+                ] = t[i].numpy()
+            img = (grid.transpose(1, 2, 0) * 255).astype(np.uint8)
+            if img.shape[-1] == 1:
+                img = img[..., 0]
+            Image.fromarray(img).save(path)
+
+        ut.save_image = _save_image
+        tv.transforms, tv.utils = tr, ut
+        sys.modules.update(
+            {
+                "torchvision": tv,
+                "torchvision.transforms": tr,
+                "torchvision.utils": ut,
+            }
+        )
+
     if args.threads > 0:
         torch.set_num_threads(args.threads)
     torch.manual_seed(0)
