@@ -112,7 +112,7 @@ def main() -> None:
 
         wdw = jax.random.normal(jax.random.PRNGKey(2), (5, 5, C)) * 0.05
         bias = jnp.zeros((C,))
-        wdw4 = wdw[..., None]  # HWIO grouped
+        wdw4 = wdw[:, :, None, :]  # HWIO grouped: [5,5,1,C]
 
         def dw_xla(x):
             return (
@@ -150,6 +150,43 @@ def main() -> None:
 
             dt = timeit(jax.jit(fwd), params, xin, t)
             print(f"full_forward_{name}: {dt*1e3:.2f} ms", flush=True)
+
+    if args.section in ("all", "fast"):
+        from sinddm_tpu.models import SinDDMNet
+        from sinddm_tpu.models.fast_denoiser import apply_denoiser_dot
+
+        model = SinDDMNet(dim=160)
+        xin = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+        t = jnp.zeros((B,), jnp.int32)
+        params = model.init(key, xin, t, jnp.asarray(0.0))["params"]
+
+        def fwd_flax(p, xx, tt):
+            return model.apply({"params": p}, xx, tt, jnp.asarray(4.0))
+
+        def fwd_dot16(p, xx, tt):
+            return apply_denoiser_dot(p, xx, tt, jnp.asarray(4.0),
+                                      compute_dtype=jnp.bfloat16)
+
+        def fwd_dot32(p, xx, tt):
+            return apply_denoiser_dot(p, xx, tt, jnp.asarray(4.0),
+                                      compute_dtype=jnp.float32)
+
+        # measured 2026-08-16: dot_fp32 fwd = 317 ms vs flax 39.8 ms (the
+        # shifted-slice reshapes materialize 9 copies of the activation per
+        # conv -> HBM-bound), and its grad OOMs. The dot formulation loses
+        # on this backend; only the bf16 fwd is kept for the record.
+        ref = None
+        for name, f in [("flax_fp32", fwd_flax), ("dot_bf16", fwd_dot16)]:
+            jf = jax.jit(f)
+            dt = timeit(jf, params, xin, t)
+            out = np.asarray(jf(params, xin, t), np.float64)
+            if ref is None:
+                ref = out
+                err = 0.0
+            else:
+                err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
+            print(f"fastfwd {name}: {dt*1e3:.2f} ms  maxrel_vs_flax={err:.2e}",
+                  flush=True)
 
     if args.section in ("all", "compile"):
         import threading

@@ -15,8 +15,17 @@ dim, and the kernel must never read partial lanes — C is zero-padded to a
 Round-2: the input DMA is double-buffered across grid steps (TPU grids run
 sequentially, so scratch persists between steps — the standard Pallas
 pipelining pattern): step k waits on the tile it prefetched at step k-1
-and immediately starts the DMA for step k+1, hiding HBM latency behind
-the 25-tap VPU accumulation.
+and immediately starts the DMA for step k+1.
+
+Round-2 measurement (real v5e, exclusive chip,
+``benchmarks/tpu_conv_experiments.py --section dw``): double-buffering did
+NOT close the gap — 7.4 ms vs XLA 5.4 ms at [4,186,248,160] and 21 ms vs
+8.6 ms at B=16. The kernel is VPU-compute-bound, not DMA-bound: the 25
+shifted sublane reads each force a vector relayout, and the 160->256 lane
+padding wastes 37% of every ALU op. **This kernel's win is precision**
+(true-fp32 accumulation: 1.8e-6 vs XLA's 1.3e-2 against a float64
+oracle), not speed; it ships as a library-level precision option and
+deliberately has no CLI flag.
 """
 
 from __future__ import annotations
