@@ -60,6 +60,7 @@ def clip_sampling(
     reblurring: bool = False,
     omega: float = 0.0,
     sharding=None,
+    precompile: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
     """Returns (per-scale outputs, per-scale aux with clip scores)."""
     n = pyramid.n_scales
@@ -107,7 +108,7 @@ def clip_sampling(
             start_noise=False, start_image=pyramid.images[n - 2],
             reblurring=reblurring, omega=omega,
             guidance_factory=guidance_factory, carry_transform=carry_transform,
-            collect_aux=aux, sharding=sharding,
+            collect_aux=aux, sharding=sharding, precompile=precompile,
         )
     else:
         outputs = sample_scales(
@@ -117,7 +118,7 @@ def clip_sampling(
             custom_t_list=custom_t_list, custom_sample=False,
             reblurring=reblurring, omega=omega,
             guidance_factory=guidance_factory, carry_transform=carry_transform,
-            collect_aux=aux, sharding=sharding,
+            collect_aux=aux, sharding=sharding, precompile=precompile,
         )
     return outputs, aux
 
@@ -198,6 +199,7 @@ def clip_roi_sampling(
 def run_clip_mode(
     args, model, trainer, sched: Schedules, pyramid: Pyramid, key,
     sample_t_list, scale_mul, results_folder, sharding=None,
+    precompile: bool = False,
 ) -> None:
     """CLI dispatcher for the four CLIP modes (reference main.py:153-255)."""
     from sinddm_tpu.models.clip.convert import find_clip_weights, load_clip
@@ -272,7 +274,7 @@ def run_clip_mode(
         sample_batch_size=args.sample_batch_size,
         custom_t_list=sample_t_list, stop_guidance=3,
         scale_mul=scale_mul, reblurring=False, omega=args.omega,
-        sharding=sharding, **cfg,
+        sharding=sharding, precompile=precompile, **cfg,
     )
     desc = f"{args.mode}_{args.clip_text.replace(' ', '_')}"
     for i, out in enumerate(outputs):

@@ -27,9 +27,18 @@ from sinddm_tpu.ops.resize import resize_bilinear
 from sinddm_tpu.schedules import Schedules
 
 
-def _make_model_fn(model, params, use_pallas: bool):
+def _make_model_fn(model, params, use_pallas: bool, fast_mode=None):
     if use_pallas:
         return lambda x, t, sc: apply_denoiser_pallas(params, x, t, sc)
+    if fast_mode is not None:
+        import jax.numpy as _jnp
+
+        from sinddm_tpu.models.fast_denoiser import apply_denoiser_dot
+
+        dt = {"bf16_dot": _jnp.bfloat16, "fp32_dot": _jnp.float32}[fast_mode]
+        return lambda x, t, sc: apply_denoiser_dot(
+            params, x, t, sc, compute_dtype=dt
+        )
     return lambda x, t, sc: model.apply({"params": params}, x, t, sc)
 
 
@@ -37,15 +46,15 @@ def _make_model_fn(model, params, use_pallas: bool):
     jax.jit,
     static_argnames=(
         "model", "shape", "s", "t_min", "omega", "guidance_fn", "sharding",
-        "collect_interm", "use_pallas",
+        "collect_interm", "use_pallas", "fast_mode",
     ),
 )
 def jit_sample_scale0(
     model, params, sched: Schedules, key, shape, s, t_min, omega,
     guidance_fn=None, guidance_carry=None, sharding=None,
-    collect_interm=False, use_pallas=False,
+    collect_interm=False, use_pallas=False, fast_mode=None,
 ):
-    model_fn = _make_model_fn(model, params, use_pallas)
+    model_fn = _make_model_fn(model, params, use_pallas, fast_mode)
 
     x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
@@ -59,16 +68,16 @@ def jit_sample_scale0(
     jax.jit,
     static_argnames=(
         "model", "size_hw", "s", "total_t", "t_min", "reblurring", "omega",
-        "guidance_fn", "sharding", "collect_interm", "use_pallas",
+        "guidance_fn", "sharding", "collect_interm", "use_pallas", "fast_mode",
     ),
 )
 def jit_sample_via_scale(
     model, params, sched: Schedules, prev, key, size_hw, s, total_t, t_min,
     reblurring, omega, guidance_fn=None, guidance_carry=None, sharding=None,
-    collect_interm=False, use_pallas=False,
+    collect_interm=False, use_pallas=False, fast_mode=None,
 ):
     img_prev = resize_bilinear(prev, size_hw)
-    model_fn = _make_model_fn(model, params, use_pallas)
+    model_fn = _make_model_fn(model, params, use_pallas, fast_mode)
 
     x, carry, aux = sample_via_scale(
         model_fn, sched, img_prev, key,
@@ -131,6 +140,8 @@ def sample_scales(
     collect_aux: Optional[List[Any]] = None,
     sharding=None,
     use_pallas: bool = False,
+    fast_mode: Optional[str] = None,
+    precompile: bool = False,
 ) -> List[jnp.ndarray]:
     """Run the full pyramid; returns the list of per-scale outputs [B,H,W,3].
 
@@ -140,6 +151,20 @@ def sample_scales(
     carry)`` builds the per-scale guidance hook (CLIP / ROI);
     ``carry_transform`` resizes guidance state between scales (reference
     models.py:528-534).
+
+    ``precompile=True`` warms the per-scale jit cache CONCURRENTLY before
+    the sequential loop: every scale's shapes and static arguments are
+    known upfront, so each executable is built in its own thread with
+    dummy inputs. Measured on the real backend (remote compile service,
+    ``benchmarks/measure_precompile*.py``): plain cold sampling drops
+    77.3 s -> 48.2 s (1.6x) because the service overlaps the five per-scale
+    compiles; the much larger *guided* computations measured 209.5 s
+    without vs 243.2 s with (one run each, service variance is minutes) —
+    no win there, so leave it off for guided runs. The guidance factory is
+    memoized per (scale, size), so the warm-up and the real loop share one
+    hook object (a fresh closure per call would defeat the jit cache);
+    both in-repo factories (CLIP, ROI) build their hook from the scale
+    alone, which is the documented contract.
     """
     if custom_t_list is None:
         custom_t_list = list(sched.num_timesteps_ideal[1:])
@@ -149,44 +174,55 @@ def sample_scales(
     if custom_image_size_idxs is None:
         custom_image_size_idxs = list(range(n_scales))
 
-    outputs: List[jnp.ndarray] = []
-    gcarry: Any = None
+    if sharding is not None and hasattr(sharding, "mesh"):
+        # params may arrive committed to one device (e.g. an orbax-restored
+        # checkpoint); replicate them over the sampling mesh so jit accepts
+        # the mixed-device call (no-op when already replicated)
+        from jax.sharding import NamedSharding, PartitionSpec
 
+        params = jax.device_put(
+            params, NamedSharding(sharding.mesh, PartitionSpec())
+        )
+
+    # memoize the factory per (scale, size): the warm-up pass and the real
+    # loop must share ONE hook object per scale (jit caches by identity of
+    # the static guidance_fn argument)
+    _memo: dict = {}
+
+    def factory(s: int, carry: Any, size_hw: Tuple[int, int]):
+        if guidance_factory is None:
+            return None, carry
+        mkey = (s, size_hw)
+        if mkey not in _memo:
+            _memo[mkey] = guidance_factory(s, None, size_hw)
+        fn, init_carry = _memo[mkey]
+        return fn, (carry if carry is not None else init_carry)
+
+    # ---- per-scale plan: every shape/static arg is known upfront --------
+    plan: List[dict] = []
+    prev_hw: Optional[Tuple[int, int]] = None
     for i in range(run_scales):
         s = int(custom_scales[i])
-        key, sub = jax.random.split(key)
-        if i == 0:
-            if start_noise:
-                size0 = sizes_hw[custom_image_size_idxs[0]]
-                shape = (
-                    batch_size,
-                    int(size0[0] * scale_mul[0]),
-                    int(size0[1] * scale_mul[1]),
-                    3,
-                )
-                t_min = (
+        step: dict = {"i": i, "s": s}
+        if i == 0 and start_noise:
+            size0 = sizes_hw[custom_image_size_idxs[0]]
+            hw = (int(size0[0] * scale_mul[0]), int(size0[1] * scale_mul[1]))
+            step.update(
+                kind="scale0",
+                shape=(batch_size, hw[0], hw[1], 3),
+                t_min=(
                     sched.num_timesteps_ideal[s + 1]
                     if (sample_limited_t and s < n_scales - 1)
                     else 0
-                )
-                gfn = None
-                if guidance_factory is not None:
-                    gfn, gcarry = guidance_factory(s, gcarry, shape[1:3])
-                x, gcarry, aux = jit_sample_scale0(
-                    model, params, sched, sub, shape, s, t_min, omega,
-                    guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
-                    use_pallas=use_pallas,
-                )
-                if collect_aux is not None:
-                    collect_aux.append(aux)
-            else:
-                # inject a start image at scale custom_scales[0]
-                # (reference trainer.py:263-266)
-                assert start_image is not None, "start_noise=False needs start_image"
-                x = jnp.broadcast_to(
-                    jnp.asarray(start_image, jnp.float32)[None],
-                    (batch_size,) + np.asarray(start_image).shape,
-                )
+                ),
+            )
+            prev_hw = hw
+        elif i == 0:
+            # inject a start image at scale custom_scales[0]
+            # (reference trainer.py:263-266)
+            assert start_image is not None, "start_noise=False needs start_image"
+            step.update(kind="inject")
+            prev_hw = tuple(np.asarray(start_image).shape[:2])
         else:
             size_hw = via_scale_size(
                 sizes_hw,
@@ -197,22 +233,91 @@ def sample_scales(
                 custom_sample=custom_sample,
                 custom_img_size_idx=int(custom_image_size_idxs[i]),
             )
-            total_t = int(custom_t_list[s - 1])
-            t_min = (
-                sched.num_timesteps_ideal[s + 1]
-                if (sample_limited_t and s < n_scales - 1)
-                else 0
+            step.update(
+                kind="via",
+                size_hw=size_hw,
+                prev_hw=prev_hw,
+                total_t=int(custom_t_list[s - 1]),
+                t_min=(
+                    sched.num_timesteps_ideal[s + 1]
+                    if (sample_limited_t and s < n_scales - 1)
+                    else 0
+                ),
             )
-            gfn = None
+            prev_hw = size_hw
+        plan.append(step)
+
+    common = dict(sharding=sharding, use_pallas=use_pallas, fast_mode=fast_mode)
+
+    if precompile:
+        import sys
+        import threading
+
+        def warm(step: dict) -> None:
+            try:
+                dkey = jax.random.PRNGKey(0)
+                if step["kind"] == "scale0":
+                    gfn, gc = factory(step["s"], None, step["shape"][1:3])
+                    jit_sample_scale0(
+                        model, params, sched, dkey, step["shape"], step["s"],
+                        step["t_min"], omega, guidance_fn=gfn,
+                        guidance_carry=gc, **common,
+                    )
+                elif step["kind"] == "via":
+                    gfn, gc = factory(step["s"], None, step["size_hw"])
+                    dummy_prev = jnp.zeros(
+                        (batch_size,) + tuple(step["prev_hw"]) + (3,),
+                        jnp.float32,
+                    )
+                    if sharding is not None:
+                        dummy_prev = jax.device_put(dummy_prev, sharding)
+                    jit_sample_via_scale(
+                        model, params, sched, dummy_prev, dkey,
+                        step["size_hw"], step["s"], step["total_t"],
+                        step["t_min"], reblurring, omega, guidance_fn=gfn,
+                        guidance_carry=gc, **common,
+                    )
+            except Exception as e:  # best-effort: the real call reports
+                print(f"precompile s={step['s']}: {e!r}", file=sys.stderr)
+
+        threads = [
+            threading.Thread(target=warm, args=(st,))
+            for st in plan
+            if st["kind"] != "inject"
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    # ---- sequential pyramid walk ----------------------------------------
+    outputs: List[jnp.ndarray] = []
+    gcarry: Any = None
+
+    for step in plan:
+        s = step["s"]
+        key, sub = jax.random.split(key)
+        if step["kind"] == "scale0":
+            gfn, gcarry = factory(s, gcarry, step["shape"][1:3])
+            x, gcarry, aux = jit_sample_scale0(
+                model, params, sched, sub, step["shape"], s, step["t_min"],
+                omega, guidance_fn=gfn, guidance_carry=gcarry, **common,
+            )
+            if collect_aux is not None:
+                collect_aux.append(aux)
+        elif step["kind"] == "inject":
+            x = jnp.broadcast_to(
+                jnp.asarray(start_image, jnp.float32)[None],
+                (batch_size,) + np.asarray(start_image).shape,
+            )
+        else:
             if carry_transform is not None and gcarry is not None:
-                gcarry = carry_transform(s, gcarry, size_hw)
-            if guidance_factory is not None:
-                gfn, gcarry = guidance_factory(s, gcarry, size_hw)
+                gcarry = carry_transform(s, gcarry, step["size_hw"])
+            gfn, gcarry = factory(s, gcarry, step["size_hw"])
             x, gcarry, aux = jit_sample_via_scale(
-                model, params, sched, outputs[-1], sub, size_hw, s, total_t,
-                t_min, reblurring, omega,
-                guidance_fn=gfn, guidance_carry=gcarry, sharding=sharding,
-                use_pallas=use_pallas,
+                model, params, sched, outputs[-1], sub, step["size_hw"], s,
+                step["total_t"], step["t_min"], reblurring, omega,
+                guidance_fn=gfn, guidance_carry=gcarry, **common,
             )
             if collect_aux is not None:
                 collect_aux.append(aux)

@@ -86,12 +86,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_mode", default="grouped",
                    choices=["grouped", "padded"],
                    help="fused-chunk strategy (see TrainConfig)")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="EXPERIMENTAL: fused Pallas conv-block kernels for "
-                        "sampling (interpret-verified; current Mosaic "
-                        "lowering diverges on device — see denoiser.py)")
+    # NOTE: alternative conv executors (Pallas fused blocks, dot-formulated
+    # convs) exist as library-level R&D paths (ops/pallas_conv.py,
+    # models/fast_denoiser.py, `fast_mode=`/`use_pallas=` in
+    # apps/sampling.py) but are NOT CLI flags: measured on a real v5e chip
+    # they do not beat XLA's conv emitter (benchmarks/tpu_conv_experiments.py,
+    # RESULTS.md), and a slower path must not ship as a user-facing option.
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--precompile", action="store_true",
+                   help="compile all per-scale sampler executables "
+                        "concurrently before the pyramid walk (measured "
+                        "1.6x faster cold plain sampling on this backend; "
+                        "no benefit measured for guided runs)")
     p.add_argument("--roi_bb", nargs="+", type=int, action="append",
                    help="target ROI box 'y x h w' (repeatable; headless)")
     p.add_argument("--target_roi", nargs=4, type=int,
@@ -211,8 +218,8 @@ def main(argv=None) -> None:
             scale_factor=pyramid.scale_factor, n_scales=pyramid.n_scales,
             batch_size=args.sample_batch_size, scale_mul=scale_mul,
             custom_t_list=sample_t_list, sample_limited_t=args.sample_limited_t,
-            omega=args.omega, use_pallas=args.use_pallas,
-            sharding=sample_sharding, **kw,
+            omega=args.omega, sharding=sample_sharding,
+            precompile=args.precompile, **kw,
         )
         final_dir = Path(results_folder) / "final_samples"
         stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")
@@ -332,6 +339,7 @@ def main(argv=None) -> None:
         run_clip_mode(
             args, model, trainer, sched, pyramid, key, sample_t_list,
             scale_mul, results_folder, sharding=sample_sharding,
+            precompile=args.precompile,
         )
     else:
         raise NotImplementedError(args.mode)

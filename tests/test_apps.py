@@ -161,3 +161,47 @@ def test_image2image_style_transfer(app_setup):
     )
     assert final.shape == (1, 40, 50, 3)
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_precompile_matches_sequential(app_setup):
+    """precompile=True (concurrent warm-up) must not change results."""
+    model, params, sched, pyr = app_setup
+    kwargs = dict(
+        scale_factor=pyr.scale_factor, n_scales=pyr.n_scales, batch_size=2,
+        custom_sample=True, custom_t_list=[3] * (pyr.n_scales - 1),
+    )
+    ref = sample_scales(
+        model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(5), **kwargs
+    )
+    got = sample_scales(
+        model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(5),
+        precompile=True, **kwargs,
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_precompile_guided_matches_sequential(app_setup):
+    from sinddm_tpu.apps.clip_apps import clip_sampling
+    from sinddm_tpu.guidance.clip_extractor import ClipExtractor
+    from sinddm_tpu.models.clip.convert import random_clip_params
+    from sinddm_tpu.models.clip.model import tiny_clip_config
+
+    model, params, sched, pyr = app_setup
+    clip_model, clip_vars = random_clip_params(tiny_clip_config(), seed=0)
+    extractor = ClipExtractor(clip_model, clip_vars, n_aug=2)
+    kwargs = dict(
+        text_input="x", strength=0.2, sample_batch_size=2,
+        custom_t_list=[3] * (pyr.n_scales - 1),
+        guidance_sub_iters=[0] + [1] * (pyr.n_scales - 1), quantile=0.5,
+        llambda=0.1,
+    )
+    ref, _ = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(6), **kwargs
+    )
+    got, _ = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(6),
+        precompile=True, **kwargs,
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
