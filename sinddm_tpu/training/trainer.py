@@ -562,6 +562,15 @@ class MultiscaleTrainer:
             ema_params=restored["ema"],
             opt_state=restored["opt_state"],
         )
+        if self.mesh is not None:
+            # orbax restores committed single-device arrays; a mesh-driven
+            # step needs them (re)replicated across the mesh or jit rejects
+            # the device mismatch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P())
+            )
 
     # ------------------------------------------------------------------
     def ema_model_fn(self):

@@ -1,13 +1,14 @@
-"""End-to-end CLI dispatch tests (tiny shapes, CPU).
+"""End-to-end CLI dispatch on CPU: ``cli.main()`` drives the real mode
+ladder (reference ``main.py:133-322``) with tiny dims, so regressions in
+the dispatch glue break CI instead of only breaking TPU evidence runs.
 
-Drives ``cli.main`` — not just the parser — through the mode ladder the
-reference dispatches in ``main.py:133-322``: train (incl. post-train
-sampling), sample, harmonization, roi, plus the TPU-native mesh flags
-(``--mesh_data/--mesh_spatial``) on the virtual 8-device CPU mesh.
+Covers train (fused chunks + milestone checkpointing), sample with
+latest-milestone resume, harmonization, style_transfer, and headless roi.
+The CLIP modes' dispatch is covered at the library level
+(``tests/test_apps.py``, ``tests/test_guidance.py``); their CLI glue needs
+a torch-layout weights file (``--clip_weights``) whose no-weights error
+path is asserted here.
 """
-
-import json
-import os
 
 import numpy as np
 import pytest
@@ -17,115 +18,123 @@ from sinddm_tpu import cli
 
 
 @pytest.fixture(scope="module")
-def tiny_dataset(tmp_path_factory):
-    """A writable dataset folder with a small image + i2i inputs."""
-    root = tmp_path_factory.mktemp("cli_ds")
-    ds = root / "tiny"
-    ds.mkdir()
-    rng = np.random.default_rng(0)
-    img = rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
-    Image.fromarray(img).save(ds / "tiny.png")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_ws")
+    ds = root / "ds"
     i2i = ds / "i2i"
-    i2i.mkdir()
-    comp = rng.uniform(0, 255, (80, 100, 3)).astype(np.uint8)
-    Image.fromarray(comp).save(i2i / "composite.png")
-    mask = np.zeros((80, 100, 3), np.uint8)
-    mask[20:50, 30:70] = 255
+    i2i.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+    ).save(ds / "tiny.png")
+    Image.fromarray(
+        rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+    ).save(i2i / "comp.png")
+    mask = np.zeros((96, 128, 3), np.uint8)
+    mask[30:60, 40:80] = 255
     Image.fromarray(mask).save(i2i / "mask.png")
-    return ds
+    res = root / "results"
+    common = [
+        "--dataset_folder", str(ds), "--image_name", "tiny.png",
+        "--results_folder", str(res), "--scope", "tiny",
+        "--dim", "8", "--timesteps", "10", "--sample_batch_size", "2",
+    ]
+    return ds, res, common
 
 
-def _common(tiny_dataset, results, extra):
-    return [
-        "--dataset_folder", str(tiny_dataset) + "/",
-        "--image_name", "tiny.png",
-        "--results_folder", str(results),
-        "--scope", "tiny",
-        "--dim", "8",
-        "--timesteps", "20",
-        "--sample_batch_size", "2",
-    ] + extra
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Run --mode train once; later modes resume its checkpoints."""
+    ds, res, common = workspace
+    cli.main(
+        common + [
+            "--mode", "train", "--train_num_steps", "4",
+            "--steps_per_chunk", "2", "--train_batch_size", "2",
+            "--save_and_sample_every", "2", "--avg_window", "2",
+        ]
+    )
+    scope = res / "tiny"
+    assert (scope / "model-2").is_dir(), "milestone checkpoint missing"
+    assert (scope / "sample-2.png").is_file(), "milestone sample missing"
+    assert list((scope / "final_samples").glob("out_s*_post_train_*.png"))
+    return workspace
 
 
-def test_cli_train_dispatch(tiny_dataset, tmp_path):
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, [
-        "--mode", "train",
-        "--train_num_steps", "6",
-        "--train_batch_size", "2",
-        "--steps_per_chunk", "3",
-    ]))
-    # post-train sampling wrote per-scale grids + unbatched finals
-    finals = list((results / "tiny" / "final_samples").glob("out_s*_post_train_*.png"))
-    assert finals, "train mode must save post-train samples"
+def test_sample_resumes_latest_milestone(trained):
+    ds, res, common = trained
+    cli.main(common + ["--mode", "sample", "--load_milestone", "-1"])
+    outs = list((res / "tiny" / "final_samples").glob("out_s*_sample_*.png"))
+    assert outs, "sample mode wrote no outputs"
 
 
-def test_cli_sample_dispatch(tiny_dataset, tmp_path):
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, ["--mode", "sample"]))
-    finals = list((results / "tiny" / "final_samples").glob("out_s*_sample_*.png"))
-    assert finals
+def test_harmonization_dispatch(trained):
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "harmonization", "--load_milestone", "-1",
+            "--input_image", "comp.png", "--harm_mask", "mask.png",
+        ]
+    )
+    out = res / "tiny" / "i2i_final_samples" / "comp_i2i_harmonization.png"
+    assert out.is_file()
 
 
-def test_cli_sample_mesh_dispatch(tiny_dataset, tmp_path):
-    """CLI-driven mesh sampling on the virtual CPU mesh (VERDICT item 5)."""
-    import jax
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device virtual CPU mesh")
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, [
-        "--mode", "sample",
-        "--mesh_data", "4", "--mesh_spatial", "2",
-        "--sample_batch_size", "4",
-    ]))
-    finals = list((results / "tiny" / "final_samples").glob("out_s*_sample_*.png"))
-    assert finals
+def test_style_transfer_dispatch(trained):
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "style_transfer", "--load_milestone", "-1",
+            "--input_image", "comp.png",
+        ]
+    )
+    out = res / "tiny" / "i2i_final_samples" / "comp_i2i_style_transfer.png"
+    assert out.is_file()
 
 
-def test_cli_train_mesh_dispatch(tiny_dataset, tmp_path):
-    """CLI-driven sharded training (mesh= threaded into the trainer)."""
-    import jax
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device virtual CPU mesh")
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, [
-        "--mode", "train",
-        "--mesh_data", "4", "--mesh_spatial", "2",
-        "--train_num_steps", "4",
-        "--train_batch_size", "4",
-        "--steps_per_chunk", "2",
-    ]))
-    finals = list((results / "tiny" / "final_samples").glob("out_s*_post_train_*.png"))
-    assert finals
+def test_roi_dispatch_headless(trained):
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "roi", "--load_milestone", "-1",
+            "--target_roi", "10", "10", "20", "20",
+            "--roi_bb", "30", "40", "20", "20",
+        ]
+    )
+    assert (res / "tiny" / "final_samples" / "roi_out.png").is_file()
 
 
-def test_cli_harmonization_dispatch(tiny_dataset, tmp_path):
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, [
-        "--mode", "harmonization",
-        "--input_image", "composite.png",
-        "--harm_mask", "mask.png",
-        "--start_t_harm", "3",
-    ]))
-    out = results / "tiny" / "i2i_final_samples" / "composite_i2i_harmonization.png"
-    assert out.exists()
+def test_clip_mode_without_weights_errors(trained, monkeypatch):
+    ds, res, common = trained
+    monkeypatch.delenv("SINDDM_CLIP_WEIGHTS", raising=False)
+    monkeypatch.setattr(
+        "sinddm_tpu.models.clip.convert.find_clip_weights", lambda: None
+    )
+    with pytest.raises(SystemExit, match="ViT-B/32"):
+        cli.main(
+            common + [
+                "--mode", "clip_content", "--clip_text", "x",
+                "--strength", "0.3", "--fill_factor", "0.3",
+            ]
+        )
 
 
-def test_cli_roi_dispatch(tiny_dataset, tmp_path):
-    results = tmp_path / "res"
-    cli.main(_common(tiny_dataset, results, [
-        "--mode", "roi",
-        "--target_roi", "4", "4", "16", "16",
-        "--roi_bb", "8", "8", "16", "16",
-    ]))
-    out = results / "tiny" / "final_samples" / "roi_out.png"
-    assert out.exists()
+def test_mesh_flag_validation(workspace):
+    """Asking for more mesh devices than visible exits with a clear error
+    (8 virtual CPU devices in this suite)."""
+    ds, res, common = workspace
+    with pytest.raises(SystemExit, match="needs 16 devices"):
+        cli.main(common + ["--mode", "sample", "--mesh_data", "16"])
 
 
-def test_cli_mesh_too_few_devices(tiny_dataset, tmp_path):
-    with pytest.raises(SystemExit):
-        cli.main(_common(tiny_dataset, tmp_path / "res", [
-            "--mode", "sample", "--mesh_data", "64",
-        ]))
+def test_cli_sample_on_mesh(trained):
+    """The CLI mesh flags drive a real sharded sampling run (VERDICT #5:
+    multi-device must be reachable from the product surface)."""
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "sample", "--load_milestone", "-1",
+            "--mesh_data", "2",
+        ]
+    )
+    outs = list((res / "tiny" / "final_samples").glob("out_s*_sample_*.png"))
+    assert outs
