@@ -118,6 +118,34 @@ def test_clip_mode_without_weights_errors(trained, monkeypatch):
         )
 
 
+def test_clip_content_cli_dispatch(trained, tmp_path):
+    """The full --clip_weights path: a torch-layout checkpoint is sniffed,
+    converted, and drives a guided run through the CLI (tiny CLIP whose
+    shapes survive the real config-inference rules)."""
+    torch = pytest.importorskip("torch")
+    from clip_sd_util import cli_tiny_clip_config, make_torch_clip_state_dict
+
+    sd = make_torch_clip_state_dict(cli_tiny_clip_config())
+    wt = tmp_path / "tiny-vit.pt"
+    torch.save(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, str(wt)
+    )
+
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "clip_content", "--load_milestone", "-1",
+            "--clip_text", "a red tree", "--strength", "0.3",
+            "--fill_factor", "0.3", "--clip_weights", str(wt),
+            "--sample_t_list", "2", "2",
+        ]
+    )
+    outs = list(
+        (res / "tiny" / "final_samples").glob("clip_content_a_red_tree*.png")
+    )
+    assert outs, "clip_content wrote no outputs"
+
+
 def test_mesh_flag_validation(workspace):
     """Asking for more mesh devices than visible exits with a clear error
     (8 virtual CPU devices in this suite)."""

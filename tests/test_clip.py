@@ -138,44 +138,10 @@ def test_convert_state_dict_roundtrip():
         convert_state_dict,
     )
 
+    from clip_sd_util import make_torch_clip_state_dict
+
     cfg = tiny_clip_config()
-    rng = np.random.default_rng(0)
-    W, V, ps = cfg.vision_width, cfg.transformer_width, cfg.vision_patch_size
-    grid = cfg.image_resolution // ps
-    sd = {
-        "visual.conv1.weight": rng.normal(size=(W, 3, ps, ps)).astype(np.float32),
-        "visual.class_embedding": rng.normal(size=(W,)).astype(np.float32),
-        "visual.positional_embedding": rng.normal(size=(grid * grid + 1, W)).astype(np.float32),
-        "visual.ln_pre.weight": np.ones(W, np.float32),
-        "visual.ln_pre.bias": np.zeros(W, np.float32),
-        "visual.ln_post.weight": np.ones(W, np.float32),
-        "visual.ln_post.bias": np.zeros(W, np.float32),
-        "visual.proj": rng.normal(size=(W, cfg.embed_dim)).astype(np.float32),
-        "positional_embedding": rng.normal(size=(77, V)).astype(np.float32),
-        "text_projection": rng.normal(size=(V, cfg.embed_dim)).astype(np.float32),
-        "logit_scale": np.float32(2.6593),
-        "token_embedding.weight": rng.normal(size=(cfg.vocab_size, V)).astype(np.float32),
-        "ln_final.weight": np.ones(V, np.float32),
-        "ln_final.bias": np.zeros(V, np.float32),
-    }
-    for tower, layers, width in [
-        ("visual.transformer", cfg.vision_layers, W),
-        ("transformer", cfg.transformer_layers, V),
-    ]:
-        for i in range(layers):
-            p = f"{tower}.resblocks.{i}"
-            sd[f"{p}.ln_1.weight"] = np.ones(width, np.float32)
-            sd[f"{p}.ln_1.bias"] = np.zeros(width, np.float32)
-            sd[f"{p}.ln_2.weight"] = np.ones(width, np.float32)
-            sd[f"{p}.ln_2.bias"] = np.zeros(width, np.float32)
-            sd[f"{p}.attn.in_proj_weight"] = rng.normal(size=(3 * width, width)).astype(np.float32) * 0.05
-            sd[f"{p}.attn.in_proj_bias"] = np.zeros(3 * width, np.float32)
-            sd[f"{p}.attn.out_proj.weight"] = rng.normal(size=(width, width)).astype(np.float32) * 0.05
-            sd[f"{p}.attn.out_proj.bias"] = np.zeros(width, np.float32)
-            sd[f"{p}.mlp.c_fc.weight"] = rng.normal(size=(4 * width, width)).astype(np.float32) * 0.05
-            sd[f"{p}.mlp.c_fc.bias"] = np.zeros(4 * width, np.float32)
-            sd[f"{p}.mlp.c_proj.weight"] = rng.normal(size=(width, 4 * width)).astype(np.float32) * 0.05
-            sd[f"{p}.mlp.c_proj.bias"] = np.zeros(width, np.float32)
+    sd = make_torch_clip_state_dict(cfg)
 
     import dataclasses
 
