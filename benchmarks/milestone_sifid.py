@@ -2,11 +2,11 @@
 
 For each checkpoint given, samples a 16-image full pyramid on the TPU and
 reports conv-proxy SIFID (metrics.py) of the finest-scale outputs against
-the training image. Together with the 20k/60k numbers in RESULTS.md this
-charts the quality trend over the reference schedule.
+the training image, and saves a sample grid to docs/evidence/.
 
 Usage:
-  python benchmarks/milestone_sifid.py results/balloons/model-9 [...more]
+  python benchmarks/milestone_sifid.py [--image path.png] \
+      results/balloons/model-9 [...more checkpoint dirs]
 """
 
 from __future__ import annotations
@@ -14,11 +14,18 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import argparse
 import json
-import sys
 
 
-def main(paths) -> None:
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--image", default="/root/reference/datasets/balloons/balloons.png"
+    )
+    ap.add_argument("paths", nargs="+")
+    args = ap.parse_args()
+
     import jax
     import numpy as np
 
@@ -30,7 +37,8 @@ def main(paths) -> None:
     from sinddm_tpu.ops.image_io import save_image
     from sinddm_tpu.training import MultiscaleTrainer
 
-    pyr = build_pyramid("/root/reference/datasets/balloons/balloons.png")
+    scene = _os.path.basename(args.image).rsplit(".", 1)[0]
+    pyr = build_pyramid(args.image)
     sched = make_schedules(
         timesteps=100, scale_losses=pyr.rescale_losses, n_scales=pyr.n_scales
     )
@@ -42,7 +50,7 @@ def main(paths) -> None:
     real = pyr.images[-1]
 
     results = {}
-    for path in paths:
+    for path in args.paths:
         trainer.load_path(path)
         outs = sample_scales(
             model, trainer.state.ema_params, sched, pyr.sizes_hw,
@@ -59,11 +67,11 @@ def main(paths) -> None:
         }
         save_image(
             (finest + 1) * 0.5,
-            f"docs/evidence/balloons_{name}_grid.png",
+            f"docs/evidence/{scene}_{name}_grid.png",
         )
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    main()
