@@ -59,15 +59,19 @@ def main() -> None:
         )
         finest = np.asarray(outs[-1])
         vals = sifid_batch(real, finest, feat)
-        name = path.rstrip("/").split("/")[-1]
+        name = "/".join(path.rstrip("/").split("/")[-2:])
         results[name] = {
             "step": int(trainer.state.step),
             "sifid_mean": round(float(vals.mean()), 4),
             "sifid_std": round(float(vals.std()), 4),
         }
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         save_image(
             (finest + 1) * 0.5,
-            f"docs/evidence/{scene}_{name}_grid.png",
+            _os.path.join(
+                repo, "docs", "evidence",
+                f"{scene}_{name.replace('/', '_')}_grid.png",
+            ),
         )
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps(results))

@@ -41,22 +41,15 @@ def timeit(fn, *args, reps=10):
 
 
 def conv3x3_dot(x, w):
-    """3x3 'SAME' conv as 9 shifted matmuls (MXU dot emitter path)."""
-    import jax
+    """3x3 'SAME' conv as 9 shifted matmuls (MXU dot emitter path).
+
+    Thin wrapper over the library implementation so the benchmark always
+    measures the code the library ships."""
     import jax.numpy as jnp
 
-    b, h, wd, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = None
-    for di in range(3):
-        for dj in range(3):
-            xs = xp[:, di : di + h, dj : dj + wd, :].reshape(-1, c)
-            y = jax.lax.dot_general(
-                xs, w[di, dj], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = y if acc is None else acc + y
-    return acc.reshape(b, h, wd, -1)
+    from sinddm_tpu.models.fast_denoiser import conv2d_dot
+
+    return conv2d_dot(x, w, jnp.zeros((w.shape[-1],), x.dtype))
 
 
 def main() -> None:
@@ -93,12 +86,19 @@ def main() -> None:
             dt = timeit(fn, *a)
             print(f"{name}: {dt*1e3:.2f} ms  {flops/dt/1e12:.1f} TFLOP/s",
                   flush=True)
-        # accuracy vs float64 oracle (small slice)
+        # accuracy vs float64 oracle (small slice) — computed in NUMPY
+        # float64: jnp.asarray would silently canonicalize back to fp32
+        # without the x64 flag, making the "oracle" an fp32 conv
         xs = np.asarray(x32[:1], np.float64)
         ws = np.asarray(w32, np.float64)
-        ref = np.asarray(
-            jax.jit(conv_xla, backend="cpu")(jnp.asarray(xs), jnp.asarray(ws))
-        )
+        xp = np.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        ref = np.zeros((1, H, W, C), np.float64)
+        for di in range(3):
+            for dj in range(3):
+                ref += (
+                    xp[:, di : di + H, dj : dj + W, :].reshape(-1, C)
+                    @ ws[di, dj]
+                ).reshape(1, H, W, C)
         for name, fn, a in [
             ("xla_fp32", jax.jit(conv_xla), (x32[:1], w32)),
             ("dot_bf16", jax.jit(conv3x3_dot), (x16[:1], w16)),

@@ -43,6 +43,7 @@ def image2image(
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     use_hist: Optional[bool] = None,
     omega: float = 0.0,
+    sharding=None,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Run i2i; returns (final composite [B,H,W,3] in [0,1], per-scale raw).
 
@@ -86,6 +87,14 @@ def image2image(
     input_batch = jnp.broadcast_to(
         jnp.asarray(input_img, jnp.float32)[None], (batch_size, h_in, w_in, 3)
     )
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        input_batch = jax.device_put(input_batch, sharding)
+        if hasattr(sharding, "mesh"):
+            params = jax.device_put(
+                params, NamedSharding(sharding.mesh, PartitionSpec())
+            )
 
     # no reblur mixing at the entry scale (reference trainer.py:326-327)
     sched_run = sched.zero_gamma_row(start_s) if start_s > 0 else sched
@@ -99,7 +108,7 @@ def image2image(
         key, sub = jax.random.split(key)
         x, _, _ = jit_sample_via_scale(
             model, params, sched_run, prev, sub, cur_size, s,
-            int(custom_t[s]), 0, True, omega,
+            int(custom_t[s]), 0, True, omega, sharding=sharding,
         )
         outputs.append(x)
         prev = x

@@ -34,6 +34,8 @@ def roi_guided_sampling(
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     reblurring: bool = True,
     omega: float = 0.0,
+    sharding=None,
+    precompile: bool = False,
 ) -> List[jnp.ndarray]:
     def guidance_factory(s, carry, size_hw):
         fn = make_roi_guidance(
@@ -52,5 +54,6 @@ def roi_guided_sampling(
         batch_size=batch_size, scale_mul=scale_mul,
         custom_t_list=custom_t_list, custom_sample=False,
         reblurring=reblurring, omega=omega,
-        guidance_factory=guidance_factory,
+        guidance_factory=guidance_factory, sharding=sharding,
+        precompile=precompile,
     )

@@ -254,6 +254,12 @@ def sample_scales(
         import threading
 
         def warm(step: dict) -> None:
+            # Warm by EXECUTING on dummy inputs, not by lower().compile():
+            # measured on the target backend the AOT executable is NOT
+            # reused by the later direct call (cold plain run: 179.2 s with
+            # AOT warm = compile twice, vs 88.8 s serial and 48.2 s with
+            # executing warm). The dummy executions cost only ~2 s of
+            # device time next to minutes of compile.
             try:
                 dkey = jax.random.PRNGKey(0)
                 if step["kind"] == "scale0":

@@ -286,7 +286,7 @@ def main(argv=None) -> None:
             model, trainer.state.ema_params, sched, pyramid, input_img, key,
             mode=args.mode, mask_img=mask_img, start_s=start_s,
             custom_t=custom_t, batch_size=args.sample_batch_size,
-            scale_mul=(1.0, 1.0), omega=args.omega,
+            scale_mul=(1.0, 1.0), omega=args.omega, sharding=sample_sharding,
         )
         out_dir = Path(results_folder) / "i2i_final_samples"
         stem = args.input_image.rsplit(".", 1)[0]
@@ -327,7 +327,8 @@ def main(argv=None) -> None:
             model, trainer.state.ema_params, sched, pyramid, key,
             target_roi=target_roi, roi_bb_list=roi_bb_list,
             custom_t_list=sample_t_list, batch_size=args.sample_batch_size,
-            scale_mul=scale_mul, omega=args.omega,
+            scale_mul=scale_mul, omega=args.omega, sharding=sample_sharding,
+            precompile=args.precompile,
         )
         out_dir = Path(results_folder) / "final_samples"
         save_image(np.asarray((outs[-1] + 1) * 0.5), out_dir / "roi_out.png")

@@ -154,6 +154,21 @@ def test_mesh_flag_validation(workspace):
         cli.main(common + ["--mode", "sample", "--mesh_data", "16"])
 
 
+def test_cli_harmonization_on_mesh(trained):
+    """i2i modes honor the mesh flags too (sharded batch + replicated
+    params through image2image)."""
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "harmonization", "--load_milestone", "-1",
+            "--input_image", "comp.png", "--harm_mask", "mask.png",
+            "--mesh_data", "2",
+        ]
+    )
+    out = res / "tiny" / "i2i_final_samples" / "comp_i2i_harmonization.png"
+    assert out.is_file()
+
+
 def test_cli_sample_on_mesh(trained):
     """The CLI mesh flags drive a real sharded sampling run (VERDICT #5:
     multi-device must be reachable from the product surface)."""
