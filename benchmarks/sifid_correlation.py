@@ -87,7 +87,12 @@ def main() -> None:
         "conv_proxy_s2_d32": conv_feature_extractor(dim=32, seed=2),
     }
     clip_model, clip_vars = random_clip_params(tiny_clip_config(), seed=0)
-    extractors["tinyclip_conv1"] = clip_feature_extractor(clip_model, clip_vars)
+    extractors["tinyclip_conv1"] = clip_feature_extractor(
+        clip_model, clip_vars, feature="conv1"
+    )
+    extractors["tinyclip_tokens"] = clip_feature_extractor(
+        clip_model, clip_vars, feature="tokens"
+    )
 
     names = list(graded)
     table = {}

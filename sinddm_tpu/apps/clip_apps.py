@@ -73,9 +73,8 @@ def clip_sampling(
         text_input, get_augmentations_template("lr")
     )
 
-    def guidance_factory(s, carry, size_hw):
-        if carry is None:
-            carry = init_clip_carry(sample_batch_size, size_hw)
+    def guidance_factory(s, size_hw):
+        carry = init_clip_carry(sample_batch_size, size_hw)
         fn = make_clip_guidance(
             extractor,
             embeds_hr if s > 0 else embeds_lr,
@@ -213,14 +212,19 @@ def run_clip_mode(
             "checkpoints/ViT-B-32.pt, ~/.cache/clip/ViT-B-32.pt — see "
             "docs/REAL_CLIP.md; this environment cannot download it)."
         )
-    clip_model, clip_vars = load_clip(weights)
+    clip_model, clip_vars = load_clip(
+        weights,
+        compute_dtype=(
+            None if getattr(args, "clip_dtype", "float32") == "float32"
+            else args.clip_dtype
+        ),
+    )
     extractor = ClipExtractor(clip_model, clip_vars, n_aug=16)
     n = pyramid.n_scales
     params = trainer.state.ema_params
     out_dir = Path(results_folder) / "final_samples"
 
     if args.mode == "clip_roi":
-        assert args.strength is not None or True
         assert args.target_roi is not None or args.interactive, (
             "clip_roi needs --target_roi (y x h w) or --interactive"
         )

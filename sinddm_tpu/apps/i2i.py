@@ -87,14 +87,33 @@ def image2image(
     input_batch = jnp.broadcast_to(
         jnp.asarray(input_img, jnp.float32)[None], (batch_size, h_in, w_in, 3)
     )
+    from sinddm_tpu.parallel.mesh import (
+        DATA_AXIS,
+        SPATIAL_AXIS,
+        batch_sharding,
+        require_named_sharding,
+    )
+
+    sharding = require_named_sharding(sharding)
     if sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        input_batch = jax.device_put(input_batch, sharding)
-        if hasattr(sharding, "mesh"):
-            params = jax.device_put(
-                params, NamedSharding(sharding.mesh, PartitionSpec())
+        mesh = sharding.mesh
+        data_n = mesh.shape.get(DATA_AXIS, 1)
+        if batch_size % data_n != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the mesh "
+                f"'{DATA_AXIS}' axis ({data_n})"
             )
+        if h_in % mesh.shape.get(SPATIAL_AXIS, 1) != 0:
+            # external images have arbitrary heights; device_put needs
+            # divisibility, so fall back to batch-only sharding rather than
+            # failing (the jitted sampler re-constrains internally)
+            sharding = batch_sharding(mesh, spatial=False)
+        input_batch = jax.device_put(input_batch, sharding)
+        params = jax.device_put(
+            params, NamedSharding(mesh, PartitionSpec())
+        )
 
     # no reblur mixing at the entry scale (reference trainer.py:326-327)
     sched_run = sched.zero_gamma_row(start_s) if start_s > 0 else sched

@@ -37,7 +37,7 @@ def roi_guided_sampling(
     sharding=None,
     precompile: bool = False,
 ) -> List[jnp.ndarray]:
-    def guidance_factory(s, carry, size_hw):
+    def guidance_factory(s, size_hw):
         fn = make_roi_guidance(
             pyramid.images,
             target_roi,
@@ -46,7 +46,7 @@ def roi_guided_sampling(
             n_scales=pyramid.n_scales,
             s=s,
         )
-        return fn, carry
+        return fn, None  # ROI guidance is stateless
 
     return sample_scales(
         model, params, sched, pyramid.sizes_hw, key,

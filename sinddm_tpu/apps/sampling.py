@@ -135,9 +135,10 @@ def sample_scales(
     reblurring: bool = True,
     sample_limited_t: bool = False,
     omega: float = 0.0,
-    guidance_factory: Optional[Callable[[int, Any, Tuple[int, int]], Tuple[Any, Any]]] = None,
+    guidance_factory: Optional[Callable[[int, Tuple[int, int]], Tuple[Any, Any]]] = None,
     carry_transform: Optional[Callable[[int, Any, Tuple[int, int]], Any]] = None,
     collect_aux: Optional[List[Any]] = None,
+    collect_interm: bool = False,
     sharding=None,
     use_pallas: bool = False,
     fast_mode: Optional[str] = None,
@@ -147,10 +148,18 @@ def sample_scales(
 
     Args mirror the reference driver (trainer.py:226-285). ``start_image``
     (float [-1,1] HWC) replaces ``start_noise=False``'s training-image
-    injection. ``guidance_factory(s, carry, size_hw) -> (guidance_fn,
-    carry)`` builds the per-scale guidance hook (CLIP / ROI);
-    ``carry_transform`` resizes guidance state between scales (reference
-    models.py:528-534).
+    injection. ``guidance_factory(s, size_hw) -> (guidance_fn,
+    init_carry)`` builds the per-scale guidance hook (CLIP / ROI) from the
+    scale and canvas size alone — it is memoized per (s, size_hw) and must
+    not depend on the running carry (state flows through the carry itself);
+    ``carry_transform(s, carry, size_hw)`` resizes guidance state between
+    scales (reference models.py:528-534).
+
+    ``collect_interm=True`` stacks every intermediate denoised state into
+    each scale's ``collect_aux`` entry under key ``"interm"``
+    ([n_steps, B, H, W, 3], t descending) — the functional form of the
+    reference's ``save_interm`` per-step image dumps (models.py:469-475,
+    511-526); the CLI's ``--save_interm`` writes them as PNG grids.
 
     ``precompile=True`` warms the per-scale jit cache CONCURRENTLY before
     the sequential loop: every scale's shapes and static arguments are
@@ -174,7 +183,10 @@ def sample_scales(
     if custom_image_size_idxs is None:
         custom_image_size_idxs = list(range(n_scales))
 
-    if sharding is not None and hasattr(sharding, "mesh"):
+    from sinddm_tpu.parallel.mesh import require_named_sharding
+
+    sharding = require_named_sharding(sharding)
+    if sharding is not None:
         # params may arrive committed to one device (e.g. an orbax-restored
         # checkpoint); replicate them over the sampling mesh so jit accepts
         # the mixed-device call (no-op when already replicated)
@@ -194,7 +206,7 @@ def sample_scales(
             return None, carry
         mkey = (s, size_hw)
         if mkey not in _memo:
-            _memo[mkey] = guidance_factory(s, None, size_hw)
+            _memo[mkey] = guidance_factory(s, size_hw)
         fn, init_carry = _memo[mkey]
         return fn, (carry if carry is not None else init_carry)
 
@@ -247,7 +259,10 @@ def sample_scales(
             prev_hw = size_hw
         plan.append(step)
 
-    common = dict(sharding=sharding, use_pallas=use_pallas, fast_mode=fast_mode)
+    common = dict(
+        sharding=sharding, use_pallas=use_pallas, fast_mode=fast_mode,
+        collect_interm=collect_interm,
+    )
 
     if precompile:
         import sys
@@ -271,6 +286,11 @@ def sample_scales(
                     )
                 elif step["kind"] == "via":
                     gfn, gc = factory(step["s"], None, step["size_hw"])
+                    if carry_transform is not None and gc is not None:
+                        # mirror the real loop's carry treatment (e.g. the
+                        # drop-mask rewrite entering scale 0) so the warm
+                        # executable's carry pytree matches the real call's
+                        gc = carry_transform(step["s"], gc, step["size_hw"])
                     dummy_prev = jnp.zeros(
                         (batch_size,) + tuple(step["prev_hw"]) + (3,),
                         jnp.float32,

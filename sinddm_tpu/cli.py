@@ -105,8 +105,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="source ROI box 'y x h w' (headless)")
     p.add_argument("--interactive", action="store_true",
                    help="use the OpenCV ROI selector instead of flags")
+    p.add_argument("--save_interm", action="store_true",
+                   help="dump every intermediate denoised state as PNG "
+                        "grids under interm_samples_scale_{s}/ (reference "
+                        "models.py:469-475,511-526; sample mode only)")
     p.add_argument("--clip_weights", default=None,
                    help="path to CLIP ViT-B/32 weights (.pt or converted)")
+    p.add_argument("--clip_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="CLIP vision-tower compute dtype (bfloat16 = "
+                        "MXU-rate guidance, the analog of the reference's "
+                        "fp16 CLIP)")
     p.add_argument("--load_reference_ckpt", default=None,
                    help="import a reference PyTorch model-{milestone}.pt "
                         "(denoiser + EMA weights) instead of --load_milestone")
@@ -131,19 +140,21 @@ def main(argv=None) -> None:
     from sinddm_tpu.training import MultiscaleTrainer
 
     print(f"devices: {jax.devices()}")
+    from sinddm_tpu.config import MeshConfig
+
+    mesh_cfg = MeshConfig(data=args.mesh_data, spatial=args.mesh_spatial)
     mesh = None
     sample_sharding = None
-    n_mesh = args.mesh_data * args.mesh_spatial
-    if n_mesh > 1:
-        from sinddm_tpu.parallel.mesh import batch_sharding, make_mesh
+    try:
+        mesh = mesh_cfg.build()
+        if args.mode == "train":
+            mesh_cfg.validate_batch(args.train_batch_size, "--train_batch_size")
+        mesh_cfg.validate_batch(args.sample_batch_size, "--sample_batch_size")
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if mesh is not None:
+        from sinddm_tpu.parallel.mesh import batch_sharding
 
-        if len(jax.devices()) < n_mesh:
-            raise SystemExit(
-                f"--mesh_data {args.mesh_data} x --mesh_spatial "
-                f"{args.mesh_spatial} needs {n_mesh} devices; only "
-                f"{len(jax.devices())} visible"
-            )
-        mesh = make_mesh(jax.devices()[:n_mesh], spatial=args.mesh_spatial)
         sample_sharding = batch_sharding(mesh)
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     scale_mul = (args.scale_mul[0], args.scale_mul[1])
@@ -213,14 +224,38 @@ def main(argv=None) -> None:
     key = jax.random.PRNGKey(args.seed + 777)
 
     def run_sample(desc: str, **kw):
+        interm_aux = [] if args.save_interm else None
         outs = sample_scales(
             model, trainer.state.ema_params, sched, pyramid.sizes_hw, key,
             scale_factor=pyramid.scale_factor, n_scales=pyramid.n_scales,
             batch_size=args.sample_batch_size, scale_mul=scale_mul,
             custom_t_list=sample_t_list, sample_limited_t=args.sample_limited_t,
             omega=args.omega, sharding=sample_sharding,
-            precompile=args.precompile, **kw,
+            precompile=args.precompile,
+            collect_interm=args.save_interm,
+            collect_aux=interm_aux,
+            **kw,
         )
+        if interm_aux is not None:
+            # per-step frame dumps, reference layout interm_samples_scale_{s}/
+            # output_t-{t:03}_s-{s}.png (models.py:469-475,511-526)
+            for s, aux in enumerate(interm_aux):
+                if aux is None or "interm" not in aux:
+                    continue
+                frames = np.asarray(aux["interm"])  # [n_steps, B, H, W, 3]
+                n_steps = frames.shape[0]
+                t_min = (
+                    sched.num_timesteps_ideal[s + 1]
+                    if (args.sample_limited_t and s < pyramid.n_scales - 1)
+                    else 0
+                )
+                sdir = Path(results_folder) / f"interm_samples_scale_{s}"
+                for j in range(n_steps):
+                    t_val = t_min + n_steps - 1 - j  # scan runs t descending
+                    save_image(
+                        np.asarray((frames[j] + 1) * 0.5),
+                        sdir / f"output_t-{t_val:03d}_s-{s}.png",
+                    )
         final_dir = Path(results_folder) / "final_samples"
         stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")
         for i, out in enumerate(outs):

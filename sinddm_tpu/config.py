@@ -90,7 +90,56 @@ class GuidanceConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout: ('data', 'spatial') axes over available devices."""
+    """Device mesh layout: ('data', 'spatial') axes over available devices.
 
-    data_axis: int = -1  # -1: all devices on the data axis
-    spatial_axis: int = 1
+    ``data * spatial`` devices are used; (1, 1) means no mesh. Built by the
+    CLI from ``--mesh_data`` / ``--mesh_spatial``.
+    """
+
+    data: int = 1
+    spatial: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.data * self.spatial
+
+    def build(self, devices=None):
+        """Return a ('data', 'spatial') Mesh, or None for the 1x1 layout.
+
+        Raises ValueError with an actionable message when fewer devices
+        are visible than the layout needs.
+        """
+        if self.n_devices <= 1:
+            return None
+        import jax
+
+        from sinddm_tpu.parallel.mesh import make_mesh
+
+        devices = list(devices if devices is not None else jax.devices())
+        if len(devices) < self.n_devices:
+            raise ValueError(
+                f"mesh data={self.data} x spatial={self.spatial} needs "
+                f"{self.n_devices} devices; only {len(devices)} visible"
+            )
+        return make_mesh(devices[: self.n_devices], spatial=self.spatial)
+
+    def validate_batch(self, batch_size: int, what: str) -> None:
+        """Fail fast when a batch can't be laid out over the data axis.
+
+        ``jax.device_put`` requires the sharded axis length to be divisible
+        by the mesh axis size; a mismatch otherwise surfaces as an opaque
+        error deep inside jit.
+        """
+        if self.data > 1 and batch_size % self.data != 0:
+            raise ValueError(
+                f"{what} ({batch_size}) must be divisible by "
+                f"--mesh_data ({self.data})"
+            )
+
+    def validate_spatial(self, h: int, what: str) -> None:
+        """Like :meth:`validate_batch` for an H axis staged via device_put."""
+        if self.spatial > 1 and h % self.spatial != 0:
+            raise ValueError(
+                f"{what} height ({h}) must be divisible by "
+                f"--mesh_spatial ({self.spatial})"
+            )

@@ -17,8 +17,11 @@ module provides the full metric machinery natively:
   :func:`clip_feature_extractor` (patch tokens of the CLIP ViT, when
   real weights are available via ``--clip_weights``).
 
-This environment cannot download InceptionV3; plug in a converted
-checkpoint through the same interface for paper-exact numbers.
+* :func:`inception_feature_extractor` — the paper-exact SIFID layer
+  (InceptionV3 first-pool features, ``models/inception.py``); the
+  architecture+converter are oracle-tested and real torchvision weights
+  drop in via ``find_inception_weights`` (this environment cannot
+  download them).
 """
 
 from __future__ import annotations
@@ -116,26 +119,63 @@ def conv_feature_extractor(dim: int = 64, depth: int = 2, seed: int = 0) -> Feat
     return feature_fn
 
 
-def clip_feature_extractor(clip_model, clip_variables) -> FeatureFn:
-    """Patch-token features of the (frozen) CLIP ViT as the SIFID map."""
-    from sinddm_tpu.models.clip.model import clip_normalize
+def inception_feature_extractor(
+    inception_params, block: str = "block0"
+) -> FeatureFn:
+    """InceptionV3 stem features as the SIFID map (paper-exact layer).
+
+    ``block0`` (64-d, the first-pool output) is the layer SIFID is defined
+    on in the SinGAN/SinDDM papers; ``block1`` gives the 192-d second-pool
+    features. Build ``inception_params`` with
+    :func:`sinddm_tpu.models.inception.load_inception` (real torchvision
+    weights, auto-sniffed by ``find_inception_weights``) or
+    ``random_inception_params`` (weight-free proxy).
+    """
+    from sinddm_tpu.models.inception import inception_stem_features
 
     def feature_fn(img: jnp.ndarray) -> jnp.ndarray:
         x01 = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)[None]
+        feats = inception_stem_features(inception_params, x01, block=block)
+        return feats[0].reshape(-1, feats.shape[-1])
 
-        # run the vision tower up to the token representations
-        def tokens(mdl):
-            return mdl.visual(clip_normalize(x01))
+    return feature_fn
 
-        # encode_image pools to the CLS token; for patch stats we use the
-        # final embedding replicated is useless — instead take conv1
-        # patch embeddings (pre-transformer), the closest analog of
-        # Inception's early features
-        cfg = clip_model.cfg
-        ps = cfg.vision_patch_size
-        params = clip_variables["params"]["visual"]["conv1"]["kernel"]
+
+def clip_feature_extractor(
+    clip_model, clip_variables, feature: str = "tokens"
+) -> FeatureFn:
+    """Patch features of the (frozen) CLIP ViT as the SIFID map.
+
+    ``feature`` selects the representation:
+
+    * ``"tokens"`` — post-transformer patch tokens
+      (``CLIPModel.encode_image_tokens``): per-patch features with global
+      context, the closest CLIP analog of Inception's pooled mid-level map.
+    * ``"conv1"`` — the pre-transformer conv patch embedding alone:
+      cheap, purely local (one matmul over patches), the extractor used by
+      ``benchmarks/sifid_correlation.py``'s ``tinyclip_conv1`` entry.
+
+    (``encode_image`` itself is unusable here: it pools everything to a
+    single CLS embedding, leaving no patch population to take statistics
+    over.)
+    """
+    from sinddm_tpu.models.clip.model import clip_normalize
+
+    if feature not in ("tokens", "conv1"):
+        raise ValueError(f"feature must be 'tokens' or 'conv1', got {feature!r}")
+
+    def feature_fn(img: jnp.ndarray) -> jnp.ndarray:
+        x01 = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)[None]
+        x = clip_normalize(x01)
+        if feature == "tokens":
+            toks = clip_model.apply(
+                clip_variables, x, method="encode_image_tokens"
+            )
+            return toks[0]
+        ps = clip_model.cfg.vision_patch_size
+        kernel = clip_variables["params"]["visual"]["conv1"]["kernel"]
         patches = jax.lax.conv_general_dilated(
-            clip_normalize(x01), params, (ps, ps), "VALID",
+            x, kernel, (ps, ps), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return patches[0].reshape(-1, patches.shape[-1])

@@ -39,10 +39,19 @@ class CLIPConfig:
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    # 'bfloat16' runs the vision tower's matmuls at MXU rate with float32
+    # params and float32 LayerNorms — the TPU analog of the reference's
+    # fp16 CLIP (clip/model.py:421-442 converts weights to half and keeps
+    # LayerNorm fp32). None/'float32' = full fp32.
+    compute_dtype: Optional[str] = None
 
     @property
     def vision_heads(self) -> int:
         return self.vision_width // 64
+
+    @property
+    def vision_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 VIT_B_32 = CLIPConfig()
@@ -77,12 +86,13 @@ class MultiheadAttention(nn.Module):
 
     width: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         B, L, W = x.shape
         hd = W // self.heads
-        qkv = nn.Dense(3 * W, name="in_proj")(x)  # [B, L, 3W]
+        qkv = nn.Dense(3 * W, dtype=self.dtype, name="in_proj")(x)  # [B, L, 3W]
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):
@@ -95,22 +105,25 @@ class MultiheadAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, W)
-        return nn.Dense(W, name="out_proj")(out)
+        return nn.Dense(W, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        x = x + MultiheadAttention(self.width, self.heads, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), mask
-        )
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        h = nn.Dense(self.width * 4, name="c_fc")(h)
+        # LayerNorms stay float32 (reference fp32 LayerNorm inside the fp16
+        # CLIP, clip/model.py:154-160); Dense layers compute in self.dtype
+        x = x + MultiheadAttention(
+            self.width, self.heads, self.dtype, name="attn"
+        )(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x), mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
-        h = nn.Dense(self.width, name="c_proj")(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
         return x + h
 
 
@@ -118,12 +131,13 @@ class TransformerStack(nn.Module):
     width: int
     layers: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, name=f"resblocks_{i}"
+                self.width, self.heads, self.dtype, name=f"resblocks_{i}"
             )(x, mask)
         return x
 
@@ -155,15 +169,26 @@ class VisionTransformer(nn.Module):
     cfg: CLIPConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, H, W, 3] (already CLIP-normalized) -> [B, embed_dim]."""
+    def __call__(
+        self, x: jnp.ndarray, return_tokens: bool = False
+    ) -> jnp.ndarray:
+        """x: [B, H, W, 3] (already CLIP-normalized) -> [B, embed_dim].
+
+        With ``return_tokens=True``, returns the post-transformer patch
+        tokens [B, Hp*Wp, width] (CLS dropped, no ln_post/proj) — the
+        analog of the reference's ``transformer_first_blocks_forward``
+        token exposure (``clip/model.py:259-273``), used for
+        CLIP-feature SIFID.
+        """
         cfg = self.cfg
         B, H, W, _ = x.shape
         ps = cfg.vision_patch_size
         x = nn.Conv(
             cfg.vision_width, (ps, ps), strides=(ps, ps), use_bias=False,
-            padding="VALID", name="conv1",  # torch Conv2d: no padding
+            padding="VALID", dtype=cfg.vision_dtype,
+            name="conv1",  # torch Conv2d: no padding
         )(x)
+        x = x.astype(jnp.float32)
         x = x.reshape(B, -1, cfg.vision_width)  # [B, Hp*Wp, width]
         cls = self.param(
             "class_embedding",
@@ -183,8 +208,11 @@ class VisionTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         x = TransformerStack(
             cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
-            name="transformer",
+            cfg.vision_dtype, name="transformer",
         )(x)
+        x = x.astype(jnp.float32)
+        if return_tokens:
+            return x[:, 1:, :]
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param(
             "proj",
@@ -234,6 +262,10 @@ class CLIPModel(nn.Module):
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.visual(images)
+
+    def encode_image_tokens(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Post-transformer patch tokens [B, Hp*Wp, width] (no CLS/proj)."""
+        return self.visual(images, return_tokens=True)
 
     def encode_text(self, tokens: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg

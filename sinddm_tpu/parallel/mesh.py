@@ -57,3 +57,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_params(params, mesh: Mesh):
     """Replicate a parameter pytree across the mesh."""
     return jax.device_put(params, replicated_sharding(mesh))
+
+
+def require_named_sharding(sharding) -> Optional[NamedSharding]:
+    """Validate an app-level ``sharding`` argument (NamedSharding or None).
+
+    The app layer replicates params over ``sharding.mesh``; any other
+    Sharding subtype (SingleDeviceSharding, PositionalSharding, ...) would
+    silently skip replication and later fail deep inside jit with a
+    mixed-device error — reject it up front instead.
+    """
+    if sharding is None:
+        return None
+    if not isinstance(sharding, NamedSharding):
+        raise TypeError(
+            "sharding must be a jax.sharding.NamedSharding over a "
+            f"('{DATA_AXIS}', '{SPATIAL_AXIS}') mesh (see batch_sharding); "
+            f"got {type(sharding).__name__}"
+        )
+    return sharding

@@ -169,6 +169,40 @@ def test_cli_harmonization_on_mesh(trained):
     assert out.is_file()
 
 
+def test_mesh_batch_divisibility_validated(workspace):
+    """--mesh_data must divide the batch size; the CLI exits with a clear
+    message instead of failing deep inside device_put (ADVICE r2)."""
+    ds, res, common = workspace
+    with pytest.raises(SystemExit, match="divisible by"):
+        cli.main(
+            common + [
+                "--mode", "sample", "--mesh_data", "4",
+                "--sample_batch_size", "6",
+            ]
+        )
+
+
+def test_save_interm_writes_frame_dumps(trained):
+    """--save_interm writes per-timestep PNG grids in the reference's
+    interm_samples_scale_{s}/ layout (models.py:469-475,511-526)."""
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "sample", "--load_milestone", "-1", "--save_interm",
+        ]
+    )
+    s0 = res / "tiny" / "interm_samples_scale_0"
+    frames = sorted(s0.glob("output_t-*_s-0.png"))
+    # scale 0 runs the full T=10 chain -> 10 frames, t=009..000
+    assert len(frames) == 10, frames
+    assert (s0 / "output_t-009_s-0.png").is_file()
+    assert (s0 / "output_t-000_s-0.png").is_file()
+    # finer scales dump their (shorter) chains too
+    assert list(
+        (res / "tiny" / "interm_samples_scale_1").glob("output_t-*_s-1.png")
+    )
+
+
 def test_cli_sample_on_mesh(trained):
     """The CLI mesh flags drive a real sharded sampling run (VERDICT #5:
     multi-device must be reachable from the product surface)."""
