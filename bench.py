@@ -62,11 +62,11 @@ def main() -> None:
     B = 16
     t_list = list(sched.num_timesteps_ideal[1:])
 
-    def run(seed: int):
+    def run(seed: int, precompile: bool = False):
         outs = sample_scales(
             model, params, sched, pyr.sizes_hw, jax.random.PRNGKey(seed),
             scale_factor=pyr.scale_factor, n_scales=pyr.n_scales,
-            batch_size=B, custom_sample=True,
+            batch_size=B, custom_sample=True, precompile=precompile,
         )
         # force execution with a scalar device->host sync:
         # block_until_ready() returns early on the tunneled axon backend
@@ -74,7 +74,9 @@ def main() -> None:
         return outs
 
     t_c = time.time()
-    outs = run(0)  # compile
+    # concurrent per-scale compiles: measured 77.3 -> 48.2 s cold on this
+    # backend (benchmarks/measure_precompile.py)
+    outs = run(0, precompile=True)
     compile_s = time.time() - t_c
     assert np.isfinite(np.asarray(outs[-1])).all()
     print(f"compile+first run {compile_s:.1f}s", file=sys.stderr)

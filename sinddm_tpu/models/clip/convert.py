@@ -123,10 +123,18 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Dict[str, 
     return jax.tree.map(jnp.asarray, params)
 
 
-def load_clip(path: str):
-    """Load a torch CLIP checkpoint -> (CLIPModel, params)."""
+def load_clip(path: str, compute_dtype: "str | None" = None):
+    """Load a torch CLIP checkpoint -> (CLIPModel, params).
+
+    ``compute_dtype='bfloat16'`` runs the vision tower at MXU rate (the
+    TPU analog of the reference's fp16 CLIP, clip/model.py:421-442).
+    """
+    import dataclasses
+
     sd = load_torch_state_dict(path)
     cfg = config_from_state_dict(sd)
+    if compute_dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     model = CLIPModel(cfg)
     return model, {"params": convert_state_dict(sd, cfg)}
 
