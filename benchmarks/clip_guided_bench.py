@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--clip_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--precompile", action="store_true")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="route via scales through the shape-bucketed "
+                         "sampler (1 compile for all guided scales)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip_unguided", action="store_true")
     ap.add_argument("--text", default="colorful hot air balloons at sunset")
@@ -99,7 +102,8 @@ def main() -> None:
     def run_guided(seed):
         outs, aux = clip_sampling(
             model, params, sched, pyr, extractor, jax.random.PRNGKey(seed),
-            precompile=args.precompile, **guided_kwargs,
+            precompile=args.precompile, bucketed=args.bucketed,
+            **guided_kwargs,
         )
         float(outs[-1].sum())  # scalar sync (block_until_ready lies here)
         return outs
@@ -124,6 +128,7 @@ def main() -> None:
         "n_aug": args.n_aug,
         "clip_dtype": args.clip_dtype,
         "precompile": bool(args.precompile),
+        "bucketed": bool(args.bucketed),
         "cold_s": round(cold_s, 1),
         "warm_s": guided_warm,
         "warm_runs_s": warm,

@@ -61,8 +61,17 @@ def clip_sampling(
     omega: float = 0.0,
     sharding=None,
     precompile: bool = False,
+    bucketed: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
-    """Returns (per-scale outputs, per-scale aux with clip scores)."""
+    """Returns (per-scale outputs, per-scale aux with clip scores).
+
+    ``bucketed=True`` routes the via scales through the shape-bucketed
+    sampler (``diffusion/bucketed.py``): ONE compiled graph serves every
+    guided scale (vs one compile per scale), at the cost of running each
+    scale's compute on the finest-scale canvas. Only the start-from-noise
+    modes use it (clip_style_trans's injection path keeps per-scale
+    graphs); requires uniform ``guidance_sub_iters`` over the via scales.
+    """
     n = pyramid.n_scales
     if guidance_sub_iters is None:
         guidance_sub_iters = list(reversed(range(n)))
@@ -96,6 +105,25 @@ def clip_sampling(
         return resize_guidance_carry(carry, size_hw, drop_mask=(s == 0))
 
     aux: List[Any] = []
+    if bucketed and not (
+        start_noise and len({int(v) for v in guidance_sub_iters[1:]}) == 1
+    ):
+        import warnings
+
+        warnings.warn(
+            "bucketed guidance needs start-from-noise with uniform via-scale "
+            "sub_iters (clip_content); falling back to per-scale graphs"
+        )
+        bucketed = False
+    if bucketed:
+        return clip_sampling_bucketed(
+            model, params, sched, pyramid, extractor, key,
+            embeds_hr=embeds_hr, embeds_lr=embeds_lr,
+            strength=strength, sample_batch_size=sample_batch_size,
+            custom_t_list=custom_t_list, guidance_sub_iters=guidance_sub_iters,
+            quantile=quantile, stop_guidance=stop_guidance,
+            llambda=llambda, reblurring=reblurring, omega=omega,
+        )
     if not start_noise:  # clip_style_trans: inject the training image
         custom_scales = [n - 2, n - 1]
         outputs = sample_scales(
@@ -119,6 +147,102 @@ def clip_sampling(
             guidance_factory=guidance_factory, carry_transform=carry_transform,
             collect_aux=aux, sharding=sharding, precompile=precompile,
         )
+    return outputs, aux
+
+
+def clip_sampling_bucketed(
+    model,
+    params,
+    sched: Schedules,
+    pyramid: Pyramid,
+    extractor: ClipExtractor,
+    key: jax.Array,
+    *,
+    embeds_hr: jnp.ndarray,
+    embeds_lr: jnp.ndarray,
+    strength: float,
+    sample_batch_size: int,
+    custom_t_list: Optional[Sequence[int]],
+    guidance_sub_iters: Sequence[int],
+    quantile: float,
+    stop_guidance: int,
+    llambda: float,
+    reblurring: bool = False,
+    omega: float = 0.0,
+) -> Tuple[List[jnp.ndarray], List[Any]]:
+    """Start-from-noise guided pyramid on the shape-bucketed sampler.
+
+    Scale 0 runs its own (small) graph as usual; every via scale runs
+    through ONE ``jit_bucketed_scale`` executable on the finest-scale
+    canvas (see ``diffusion/bucketed.py``). Requires uniform
+    ``guidance_sub_iters`` over scales 1..n-1 (clip_content's [0,1,1,...]
+    pattern; the style modes guide only the finest scale and gain nothing
+    from bucketing).
+    """
+    from sinddm_tpu.apps.sampling import jit_sample_scale0
+    from sinddm_tpu.diffusion.bucketed import (
+        jit_bucketed_scale,
+        place_on_canvas,
+    )
+    from sinddm_tpu.guidance.clip_extractor import resize_output_size
+
+    n = pyramid.n_scales
+    if custom_t_list is None:
+        custom_t_list = list(sched.num_timesteps_ideal[1:])
+    via_iters = {int(v) for v in guidance_sub_iters[1:]}
+    if len(via_iters) != 1:
+        raise ValueError(
+            "bucketed guided sampling needs uniform guidance_sub_iters "
+            f"over the via scales, got {list(guidance_sub_iters)}"
+        )
+    sub_iters = via_iters.pop()
+    canvas = tuple(pyramid.sizes_hw[-1])
+    frame_hw = resize_output_size(canvas[0], canvas[1])
+    max_t = int(max(custom_t_list))
+
+    # ---- scale 0: existing per-scale machinery (cheap graph) ------------
+    h0, w0 = pyramid.sizes_hw[0]
+    key, k0 = jax.random.split(key)
+    gfn0 = None
+    if int(guidance_sub_iters[0]) > 0:
+        gfn0 = make_clip_guidance(
+            extractor, embeds_lr, s=0, n_scales=n,
+            sub_iters=int(guidance_sub_iters[0]), strength=strength,
+            quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
+        )
+    x0, carry0, aux0 = jit_sample_scale0(
+        model, params, sched, k0, (sample_batch_size, h0, w0, 3), 0, 0,
+        omega, guidance_fn=gfn0,
+        guidance_carry=(
+            init_clip_carry(sample_batch_size, (h0, w0)) if gfn0 else None
+        ),
+    )
+    outputs = [x0]
+    aux: List[Any] = [aux0]
+
+    # mask created at scale 0 is dropped (reference models.py:533-534);
+    # the bucketed carry always lives on the canvas
+    carry = init_clip_carry(sample_batch_size, canvas)
+    prev_canvas = place_on_canvas(x0, canvas)
+    prev_valid = jnp.asarray([h0, w0], jnp.int32)
+
+    for s in range(1, n):
+        hs, ws = pyramid.sizes_hw[s]
+        cur_valid = jnp.asarray([hs, ws], jnp.int32)
+        key, sub = jax.random.split(key)
+        prev_canvas, carry, scores = jit_bucketed_scale(
+            model, params, sched, prev_canvas, carry, sub,
+            prev_valid, cur_valid,
+            jnp.asarray(s, jnp.int32), jnp.asarray(int(custom_t_list[s - 1])),
+            embeds_hr,
+            extractor=extractor, max_t=max_t, sub_iters=sub_iters,
+            n_scales=n, frame_hw=frame_hw, strength=strength,
+            quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
+            omega=omega, reblurring=reblurring,
+        )
+        outputs.append(prev_canvas[:, :hs, :ws, :])
+        aux.append({"clip_score": scores})
+        prev_valid = cur_valid
     return outputs, aux
 
 
@@ -278,7 +402,9 @@ def run_clip_mode(
         sample_batch_size=args.sample_batch_size,
         custom_t_list=sample_t_list, stop_guidance=3,
         scale_mul=scale_mul, reblurring=False, omega=args.omega,
-        sharding=sharding, precompile=precompile, **cfg,
+        sharding=sharding, precompile=precompile,
+        bucketed=getattr(args, "bucketed_guidance", False),
+        **cfg,
     )
     desc = f"{args.mode}_{args.clip_text.replace(' ', '_')}"
     for i, out in enumerate(outputs):

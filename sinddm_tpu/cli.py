@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CLIP vision-tower compute dtype (bfloat16 = "
                         "MXU-rate guidance, the analog of the reference's "
                         "fp16 CLIP)")
+    p.add_argument("--bucketed_guidance", action="store_true",
+                   help="run all guided via scales through ONE compiled "
+                        "graph on the finest-scale canvas (clip_content "
+                        "only; cuts guided cold-start compiles from "
+                        "n_scales to 2)")
     p.add_argument("--load_reference_ckpt", default=None,
                    help="import a reference PyTorch model-{milestone}.pt "
                         "(denoiser + EMA weights) instead of --load_milestone")

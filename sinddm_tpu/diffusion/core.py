@@ -158,18 +158,26 @@ def p_sample_step(
     clip_denoised: bool = True,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    gammas_row: Optional[jnp.ndarray] = None,
+    s_value: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Any, Dict[str, jnp.ndarray]]:
     """One reverse step x_t -> x_{t-1}. Reference models.py:354-459.
 
-    ``t`` is a scalar (traced inside the scan); ``s`` is static.
+    ``t`` is a scalar (traced inside the scan); ``s`` is static and picks
+    the code path. The shape-bucketed sampler (``diffusion/bucketed.py``)
+    runs ONE graph for every scale: it passes a dynamically gathered
+    ``gammas_row`` plus a traced ``s_value`` for the denoiser's scale
+    embedding while keeping ``s`` as a static stand-in (>0) for branching.
     Returns (x_next, guidance_carry, guidance_aux).
     """
     b = x.shape[0]
     t = jnp.asarray(t)
     t_vec = jnp.full((b,), t, dtype=jnp.int32)
-    eps = model_fn(x, t_vec, jnp.asarray(s, jnp.float32))
+    s_emb = jnp.asarray(s, jnp.float32) if s_value is None else s_value
+    eps = model_fn(x, t_vec, s_emb)
 
-    gammas_row = sched.gammas_row_sampling(s) if (reblurring and s > 0) else None
+    if gammas_row is None:
+        gammas_row = sched.gammas_row_sampling(s) if (reblurring and s > 0) else None
     x_recon, x_t_mix = predict_start_from_noise(
         sched, x, t_vec, eps, s=s, reblurring=reblurring,
         img_prev=img_prev, gammas_row=gammas_row,
@@ -179,7 +187,7 @@ def p_sample_step(
     if guidance_fn is not None:
         key, gkey = jax.random.split(key)
         x_recon, guidance_carry, aux = guidance_fn(
-            x_recon, x, t, s, gkey, guidance_carry
+            x_recon, x, t, s if s_value is None else s_value, gkey, guidance_carry
         )
 
     if reblurring and s > 0:

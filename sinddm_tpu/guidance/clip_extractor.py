@@ -154,20 +154,36 @@ def augment_views(
     img: jnp.ndarray,
     n_aug: int,
     fill: float = 1.0,
+    valid_hw=None,
+    frame_hw: "Tuple[int, int] | None" = None,
 ) -> jnp.ndarray:
     """One image [H, W, 3] in [0,1] -> [n_aug, ch, cw, 3] augmented views.
 
     View 0: resize (short side 224, long side capped at 320) + augs.
     Views 1..n-1: random crop (scale U(0.6, 1)) resized to the view-0
     frame + augs (reference clip_extractor.py:68-96).
+
+    ``valid_hw`` ([2] traced ints) restricts sampling to the top-left
+    valid region of a padded canvas — used by the shape-bucketed guided
+    sampler, whose canvas shape is static while the image size is traced;
+    ``frame_hw`` then fixes the (static) view frame (the per-scale frame
+    would otherwise depend on the traced size).
     """
-    h, w = img.shape[0], img.shape[1]
-    ch, cw = resize_output_size(h, w)
+    if valid_hw is None:
+        h, w = img.shape[0], img.shape[1]
+    else:
+        h = valid_hw[0].astype(jnp.float32)
+        w = valid_hw[1].astype(jnp.float32)
+    ch, cw = (
+        resize_output_size(img.shape[0], img.shape[1])
+        if frame_hw is None
+        else frame_hw
+    )
     keys = jax.random.split(key, 2 * n_aug)
 
     def one_view(i, kc, ka):
-        # crop/resize stage
-        full = W.crop_resize_matrix(0.0, 0.0, float(h), float(w), (ch, cw))
+        # crop/resize stage (h/w may be traced when valid_hw is given)
+        full = W.crop_resize_matrix(0.0, 0.0, 1.0 * h, 1.0 * w, (ch, cw))
 
         s = jax.random.uniform(kc, minval=0.6, maxval=1.0)
         crop_h = jnp.floor(h * s)
@@ -226,12 +242,17 @@ class ClipExtractor:
         return out
 
     # -- images --------------------------------------------------------
-    def embed_image_views(self, x01: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    def embed_image_views(
+        self, x01: jnp.ndarray, key: jax.Array, valid_hw=None, frame_hw=None
+    ) -> jnp.ndarray:
         """[B, H, W, 3] in [0,1] -> [B, n_aug, D] embeddings of augmented views."""
         B = x01.shape[0]
         keys = jax.random.split(key, B)
         views = jax.vmap(
-            lambda img, k: augment_views(k, img, self.n_aug, self.affine_fill)
+            lambda img, k: augment_views(
+                k, img, self.n_aug, self.affine_fill,
+                valid_hw=valid_hw, frame_hw=frame_hw,
+            )
         )(x01, keys)  # [B, n_aug, ch, cw, 3]
         bn = B * self.n_aug
         flat = views.reshape((bn,) + views.shape[2:])
@@ -248,7 +269,12 @@ class ClipExtractor:
 
     # -- loss ----------------------------------------------------------
     def calculate_clip_loss(
-        self, x01: jnp.ndarray, text_embeds: jnp.ndarray, key: jax.Array
+        self,
+        x01: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        key: jax.Array,
+        valid_hw=None,
+        frame_hw=None,
     ) -> jnp.ndarray:
         """Stochastic-template CLIP loss (clip_extractor.py:134-147)."""
         n_total = text_embeds.shape[0]
@@ -258,7 +284,9 @@ class ClipExtractor:
         sel_mask = (jnp.arange(n_total) < n_sel).astype(jnp.float32)
         selected = text_embeds[idx]  # [n_total, D] (first n_sel count)
 
-        img_embs = self.embed_image_views(x01, ka)  # [B, n_aug, D]
+        img_embs = self.embed_image_views(
+            x01, ka, valid_hw=valid_hw, frame_hw=frame_hw
+        )  # [B, n_aug, D]
         img_n = img_embs / jnp.linalg.norm(img_embs, axis=-1, keepdims=True)
         txt_n = selected / jnp.linalg.norm(selected, axis=-1, keepdims=True)
         # cos[b, t] = mean over views of <img view, template t>

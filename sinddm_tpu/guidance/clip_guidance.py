@@ -26,7 +26,7 @@ layer resizes the carry between scales and drops a scale-0 mask
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,24 +68,46 @@ def resize_guidance_carry(
 
 
 def thresholded_grad(
-    grad: jnp.ndarray, quantile: float = 0.8
+    grad: jnp.ndarray,
+    quantile: float = 0.8,
+    valid_mask: Optional[jnp.ndarray] = None,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Soft-threshold CLIP gradients at an energy quantile.
 
     Reference ``functions.py:52-67``: energy = ||grad||_2 over channels;
     per-sample 'nearest' quantile of the flattened energy; returns
     (sparse_grad, boolean mask). Implements the paper's fill_factor.
+
+    ``valid_mask`` ([H, W] bool) + ``n_valid`` (traced scalar) compute the
+    quantile over the valid region of a padded canvas only (shape-bucketed
+    sampler): invalid energies sort to +inf, and the 'nearest' index
+    k = round(q * (n_valid - 1)) is a dynamic gather — equal to
+    ``jnp.quantile(valid_values, q, method='nearest')`` (tested).
     """
     b = grad.shape[0]
     energy = jnp.linalg.norm(grad, axis=-1)  # [B, H, W]
     flat = energy.reshape(b, -1)
-    q = jnp.quantile(flat, quantile, axis=1, method="nearest")[:, None, None]
+    if valid_mask is None:
+        q = jnp.quantile(flat, quantile, axis=1, method="nearest")[:, None, None]
+    else:
+        vm = valid_mask.reshape(-1).astype(bool)
+        srt = jnp.sort(jnp.where(vm[None, :], flat, jnp.inf), axis=1)
+        # jnp.quantile 'nearest' rounds .5 virtual indices DOWN (measured
+        # in-env; numpy rounds them up) — ceil(vi - 0.5) reproduces it
+        k = jnp.ceil(quantile * (n_valid - 1) - 0.5).astype(jnp.int32)
+        q = jnp.take(srt, k, axis=1)[:, None, None]
     delta = energy - q
     mask = (delta > 0)[..., None]  # [B, H, W, 1]
+    if valid_mask is not None:
+        mask = jnp.logical_and(mask, valid_mask[None, :, :, None])
     delta_clamped = jnp.clip(delta, 0.0, None)[..., None]
     unit = grad / energy[..., None]
     unit = jnp.nan_to_num(unit, nan=0.0, posinf=0.0, neginf=0.0)
-    return delta_clamped * unit, mask
+    sparse = delta_clamped * unit
+    if valid_mask is not None:
+        sparse = sparse * valid_mask[None, :, :, None]
+    return sparse, mask
 
 
 def _vec_norm(x: jnp.ndarray) -> jnp.ndarray:
@@ -104,10 +126,23 @@ def make_clip_guidance(
     quantile: float,
     llambda: float,
     stop_guidance: int,
+    bucketed_ctx: Optional[dict] = None,
 ):
-    """Build the per-scale guidance hook (None when sub_iters == 0)."""
+    """Build the per-scale guidance hook (None when sub_iters == 0).
+
+    ``bucketed_ctx`` (shape-bucketed sampler, ``diffusion/bucketed.py``)
+    carries traced padded-canvas context: ``valid_hw`` [2], ``n_valid``
+    scalar, ``valid_mask`` [H, W] bool, ``frame_hw`` static (ch, cw). The
+    CLIP views then sample only the valid region and the energy quantile
+    is computed over valid pixels.
+    """
     if sub_iters <= 0:
         return None
+    ctx = bucketed_ctx or {}
+    valid_hw = ctx.get("valid_hw")
+    frame_hw = ctx.get("frame_hw")
+    valid_mask2d = ctx.get("valid_mask")
+    n_valid = ctx.get("n_valid")
 
     def guided(args):
         x_recon, t, key, carry = args
@@ -122,12 +157,19 @@ def make_clip_guidance(
 
             def loss_fn(xr):
                 return -extractor.calculate_clip_loss(
-                    (xr + 1.0) * 0.5, text_embeds, kl
+                    (xr + 1.0) * 0.5, text_embeds, kl,
+                    valid_hw=valid_hw, frame_hw=frame_hw,
                 )
 
             score, grad = jax.value_and_grad(loss_fn)(x)
+            if valid_mask2d is not None:
+                # bilinear taps at the valid-region edge can graze the
+                # first padded row/col; keep the update strictly valid
+                grad = grad * valid_mask2d[None, :, :, None]
 
-            sparse_grad, new_mask = thresholded_grad(grad, quantile)
+            sparse_grad, new_mask = thresholded_grad(
+                grad, quantile, valid_mask=valid_mask2d, n_valid=n_valid
+            )
             use_sparse = jnp.logical_not(has_mask)
             mask = jnp.where(has_mask, mask, new_mask.astype(jnp.float32))
             grad_used = jnp.where(use_sparse, sparse_grad, grad)
@@ -149,7 +191,13 @@ def make_clip_guidance(
 
     def guidance_fn(x_recon, x_t, t, s_, key, carry):
         # gate: stop_guidance <= t or s < n_scales - 1 (models.py:368)
-        if s < n_scales - 1:
+        if bucketed_ctx is not None:
+            # s_ is traced in the bucketed graph: same gate, dynamically
+            gate = jnp.logical_or(s_ < n_scales - 1, t >= stop_guidance)
+            x, carry, scores = jax.lax.cond(
+                gate, guided, not_guided, (x_recon, t, key, carry)
+            )
+        elif s < n_scales - 1:
             x, carry, scores = guided((x_recon, t, key, carry))
         else:
             gate = t >= stop_guidance
