@@ -106,13 +106,16 @@ def clip_sampling(
 
     aux: List[Any] = []
     if bucketed and not (
-        start_noise and len({int(v) for v in guidance_sub_iters[1:]}) == 1
+        start_noise
+        and sharding is None
+        and len({int(v) for v in guidance_sub_iters[1:]}) == 1
     ):
         import warnings
 
         warnings.warn(
-            "bucketed guidance needs start-from-noise with uniform via-scale "
-            "sub_iters (clip_content); falling back to per-scale graphs"
+            "bucketed guidance needs start-from-noise, no mesh sharding, and "
+            "uniform via-scale sub_iters (clip_content); falling back to "
+            "per-scale graphs"
         )
         bucketed = False
     if bucketed:
@@ -121,7 +124,7 @@ def clip_sampling(
             embeds_hr=embeds_hr, embeds_lr=embeds_lr,
             strength=strength, sample_batch_size=sample_batch_size,
             custom_t_list=custom_t_list, guidance_sub_iters=guidance_sub_iters,
-            quantile=quantile, stop_guidance=stop_guidance,
+            quantile=quantile, stop_guidance=stop_guidance, scale_mul=scale_mul,
             llambda=llambda, reblurring=reblurring, omega=omega,
         )
     if not start_noise:  # clip_style_trans: inject the training image
@@ -167,6 +170,7 @@ def clip_sampling_bucketed(
     quantile: float,
     stop_guidance: int,
     llambda: float,
+    scale_mul: Tuple[float, float] = (1.0, 1.0),
     reblurring: bool = False,
     omega: float = 0.0,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
@@ -196,12 +200,17 @@ def clip_sampling_bucketed(
             f"over the via scales, got {list(guidance_sub_iters)}"
         )
     sub_iters = via_iters.pop()
-    canvas = tuple(pyramid.sizes_hw[-1])
+    # per-scale target sizes incl. scale_mul (reference trainer.py:249-252)
+    sizes = [
+        (int(h * scale_mul[0]), int(w * scale_mul[1]))
+        for h, w in pyramid.sizes_hw
+    ]
+    canvas = tuple(sizes[-1])
     frame_hw = resize_output_size(canvas[0], canvas[1])
     max_t = int(max(custom_t_list))
 
     # ---- scale 0: existing per-scale machinery (cheap graph) ------------
-    h0, w0 = pyramid.sizes_hw[0]
+    h0, w0 = sizes[0]
     key, k0 = jax.random.split(key)
     gfn0 = None
     if int(guidance_sub_iters[0]) > 0:
@@ -219,6 +228,7 @@ def clip_sampling_bucketed(
     )
     outputs = [x0]
     aux: List[Any] = [aux0]
+    del pyramid  # all sizes below come from the scale_mul-adjusted list
 
     # mask created at scale 0 is dropped (reference models.py:533-534);
     # the bucketed carry always lives on the canvas
@@ -227,7 +237,7 @@ def clip_sampling_bucketed(
     prev_valid = jnp.asarray([h0, w0], jnp.int32)
 
     for s in range(1, n):
-        hs, ws = pyramid.sizes_hw[s]
+        hs, ws = sizes[s]
         cur_valid = jnp.asarray([hs, ws], jnp.int32)
         key, sub = jax.random.split(key)
         prev_canvas, carry, scores = jit_bucketed_scale(
