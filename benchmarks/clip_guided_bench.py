@@ -42,10 +42,16 @@ def main() -> None:
                          "sampler (1 compile for all guided scales)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip_unguided", action="store_true")
+    ap.add_argument("--t_list", type=int, nargs="+", default=None,
+                    help="override per-scale t budgets (smoke tests)")
+    ap.add_argument("--force_cpu", action="store_true")
     ap.add_argument("--text", default="colorful hot air balloons at sunset")
     args = ap.parse_args()
 
     import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from sinddm_tpu import build_pyramid, make_schedules
@@ -84,7 +90,11 @@ def main() -> None:
         file=_sys.stderr,
     )
 
-    t_list = list(sched.num_timesteps_ideal[1:])
+    t_list = (
+        list(args.t_list)
+        if args.t_list
+        else list(sched.num_timesteps_ideal[1:])
+    )
     # clip_content settings (reference main.py:163-174)
     guided_kwargs = dict(
         text_input=args.text,
