@@ -146,6 +146,33 @@ def test_clip_content_cli_dispatch(trained, tmp_path):
     assert outs, "clip_content wrote no outputs"
 
 
+def test_clip_content_bucketed_cli_dispatch(trained, tmp_path):
+    """--bucketed_guidance drives the shape-bucketed sampler end-to-end
+    through the CLI (one executable for all guided via scales)."""
+    torch = pytest.importorskip("torch")
+    from clip_sd_util import cli_tiny_clip_config, make_torch_clip_state_dict
+
+    sd = make_torch_clip_state_dict(cli_tiny_clip_config())
+    wt = tmp_path / "tiny-vit-b.pt"
+    torch.save(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, str(wt)
+    )
+
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "clip_content", "--load_milestone", "-1",
+            "--clip_text", "a blue sky", "--strength", "0.3",
+            "--fill_factor", "0.3", "--clip_weights", str(wt),
+            "--sample_t_list", "2", "2", "--bucketed_guidance",
+        ]
+    )
+    outs = list(
+        (res / "tiny" / "final_samples").glob("clip_content_a_blue_sky*.png")
+    )
+    assert outs, "bucketed clip_content wrote no outputs"
+
+
 def test_mesh_flag_validation(workspace):
     """Asking for more mesh devices than visible exits with a clear error
     (8 virtual CPU devices in this suite)."""
