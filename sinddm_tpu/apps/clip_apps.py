@@ -137,7 +137,9 @@ def clip_sampling(
             custom_image_size_idxs=custom_scales, custom_sample=True,
             start_noise=False, start_image=pyramid.images[n - 2],
             reblurring=reblurring, omega=omega,
-            guidance_factory=guidance_factory, carry_transform=carry_transform,
+            guidance_factory=guidance_factory,
+            guidance_params=extractor.variables,
+            carry_transform=carry_transform,
             collect_aux=aux, sharding=sharding, precompile=precompile,
         )
     else:
@@ -147,7 +149,9 @@ def clip_sampling(
             batch_size=sample_batch_size, scale_mul=scale_mul,
             custom_t_list=custom_t_list, custom_sample=False,
             reblurring=reblurring, omega=omega,
-            guidance_factory=guidance_factory, carry_transform=carry_transform,
+            guidance_factory=guidance_factory,
+            guidance_params=extractor.variables,
+            carry_transform=carry_transform,
             collect_aux=aux, sharding=sharding, precompile=precompile,
         )
     return outputs, aux
@@ -225,6 +229,7 @@ def clip_sampling_bucketed(
         guidance_carry=(
             init_clip_carry(sample_batch_size, (h0, w0)) if gfn0 else None
         ),
+        guidance_params=(extractor.variables if gfn0 else None),
     )
     outputs = [x0]
     aux: List[Any] = [aux0]
@@ -245,6 +250,7 @@ def clip_sampling_bucketed(
             prev_valid, cur_valid,
             jnp.asarray(s, jnp.int32), jnp.asarray(int(custom_t_list[s - 1])),
             embeds_hr,
+            extractor.variables if sub_iters > 0 else None,
             extractor=extractor, max_t=max_t, sub_iters=sub_iters,
             n_scales=n, frame_hw=frame_hw, strength=strength,
             quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
@@ -264,17 +270,24 @@ def _clip_roi_ascent(
     extractor: ClipExtractor,
     patch: jnp.ndarray,
     text_embeds: jnp.ndarray,
+    clip_params,
     key: jax.Array,
     n_iters: int,
     strength: float,
 ):
-    """100-iteration normalized CLIP gradient ascent (trainer.py:429-449)."""
+    """100-iteration normalized CLIP gradient ascent (trainer.py:429-449).
+
+    ``clip_params`` carries the tower weights as a traced argument (see
+    clip_extractor.embed_image_views on why closures are fatal at scale).
+    """
 
     def body(carry, k):
         x = carry
 
         def loss_fn(xr):
-            return -extractor.calculate_clip_loss((xr + 1.0) * 0.5, text_embeds, k)
+            return -extractor.calculate_clip_loss(
+                (xr + 1.0) * 0.5, text_embeds, k, variables=clip_params
+            )
 
         score, grad = jax.value_and_grad(loss_fn)(x)
         norm_x = jnp.sqrt(jnp.sum(x * x, axis=(1, 2, 3), keepdims=True))
@@ -318,7 +331,8 @@ def clip_roi_sampling(
 
     key, ka, ks = jax.random.split(key, 3)
     patch, scores = _clip_roi_ascent(
-        extractor, patch, embeds, ka, num_clip_iters, strength
+        extractor, patch, embeds, extractor.variables, ka,
+        num_clip_iters, strength
     )
     image = image.at[:, y : y + h, x : x + w, :].set(patch)
 

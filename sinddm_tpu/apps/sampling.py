@@ -51,14 +51,15 @@ def _make_model_fn(model, params, use_pallas: bool, fast_mode=None):
 )
 def jit_sample_scale0(
     model, params, sched: Schedules, key, shape, s, t_min, omega,
-    guidance_fn=None, guidance_carry=None, sharding=None,
-    collect_interm=False, use_pallas=False, fast_mode=None,
+    guidance_fn=None, guidance_carry=None, guidance_params=None,
+    sharding=None, collect_interm=False, use_pallas=False, fast_mode=None,
 ):
     model_fn = _make_model_fn(model, params, use_pallas, fast_mode)
 
     x, carry, aux = sample_scale0(
         model_fn, sched, shape, key, s=s, t_min=t_min, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        guidance_params=guidance_params,
         sharding=sharding, collect_interm=collect_interm,
     )
     return x, carry, aux
@@ -73,7 +74,8 @@ def jit_sample_scale0(
 )
 def jit_sample_via_scale(
     model, params, sched: Schedules, prev, key, size_hw, s, total_t, t_min,
-    reblurring, omega, guidance_fn=None, guidance_carry=None, sharding=None,
+    reblurring, omega, guidance_fn=None, guidance_carry=None,
+    guidance_params=None, sharding=None,
     collect_interm=False, use_pallas=False, fast_mode=None,
 ):
     img_prev = resize_bilinear(prev, size_hw)
@@ -83,6 +85,7 @@ def jit_sample_via_scale(
         model_fn, sched, img_prev, key,
         s=s, total_t=total_t, t_min=t_min, reblurring=reblurring, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
+        guidance_params=guidance_params,
         sharding=sharding, collect_interm=collect_interm,
     )
     return x, carry, aux
@@ -136,6 +139,7 @@ def sample_scales(
     sample_limited_t: bool = False,
     omega: float = 0.0,
     guidance_factory: Optional[Callable[[int, Tuple[int, int]], Tuple[Any, Any]]] = None,
+    guidance_params: Any = None,
     carry_transform: Optional[Callable[[int, Any, Tuple[int, int]], Any]] = None,
     collect_aux: Optional[List[Any]] = None,
     collect_interm: bool = False,
@@ -153,7 +157,13 @@ def sample_scales(
     scale and canvas size alone — it is memoized per (s, size_hw) and must
     not depend on the running carry (state flows through the carry itself);
     ``carry_transform(s, carry, size_hw)`` resizes guidance state between
-    scales (reference models.py:528-534).
+    scales (reference models.py:528-534). ``guidance_params`` is an
+    optional pytree (e.g. the CLIP tower variables) passed to every jitted
+    scale as a TRACED argument and forwarded to the hook as its 7th
+    positional arg — large frozen towers must travel this way rather than
+    inside the hook's closure, where they would compile as HLO constants
+    (~600 MB of literals at ViT-B/32 scale; the remote compile service
+    rejects such programs).
 
     ``collect_interm=True`` stacks every intermediate denoised state into
     each scale's ``collect_aux`` entry under key ``"interm"``
@@ -195,6 +205,10 @@ def sample_scales(
         params = jax.device_put(
             params, NamedSharding(sharding.mesh, PartitionSpec())
         )
+        if guidance_params is not None:
+            guidance_params = jax.device_put(
+                guidance_params, NamedSharding(sharding.mesh, PartitionSpec())
+            )
 
     # memoize the factory per (scale, size): the warm-up pass and the real
     # loop must share ONE hook object per scale (jit caches by identity of
@@ -282,7 +296,9 @@ def sample_scales(
                     jit_sample_scale0(
                         model, params, sched, dkey, step["shape"], step["s"],
                         step["t_min"], omega, guidance_fn=gfn,
-                        guidance_carry=gc, **common,
+                        guidance_carry=gc,
+                        guidance_params=(guidance_params if gfn else None),
+                        **common,
                     )
                 elif step["kind"] == "via":
                     gfn, gc = factory(step["s"], None, step["size_hw"])
@@ -301,7 +317,9 @@ def sample_scales(
                         model, params, sched, dummy_prev, dkey,
                         step["size_hw"], step["s"], step["total_t"],
                         step["t_min"], reblurring, omega, guidance_fn=gfn,
-                        guidance_carry=gc, **common,
+                        guidance_carry=gc,
+                        guidance_params=(guidance_params if gfn else None),
+                        **common,
                     )
             except Exception as e:  # best-effort: the real call reports
                 print(f"precompile s={step['s']}: {e!r}", file=sys.stderr)
@@ -327,7 +345,8 @@ def sample_scales(
             gfn, gcarry = factory(s, gcarry, step["shape"][1:3])
             x, gcarry, aux = jit_sample_scale0(
                 model, params, sched, sub, step["shape"], s, step["t_min"],
-                omega, guidance_fn=gfn, guidance_carry=gcarry, **common,
+                omega, guidance_fn=gfn, guidance_carry=gcarry,
+                guidance_params=(guidance_params if gfn else None), **common,
             )
             if collect_aux is not None:
                 collect_aux.append(aux)
@@ -343,7 +362,8 @@ def sample_scales(
             x, gcarry, aux = jit_sample_via_scale(
                 model, params, sched, outputs[-1], sub, step["size_hw"], s,
                 step["total_t"], step["t_min"], reblurring, omega,
-                guidance_fn=gfn, guidance_carry=gcarry, **common,
+                guidance_fn=gfn, guidance_carry=gcarry,
+                guidance_params=(guidance_params if gfn else None), **common,
             )
             if collect_aux is not None:
                 collect_aux.append(aux)

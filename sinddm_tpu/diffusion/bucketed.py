@@ -112,6 +112,7 @@ def sample_via_scale_bucketed(
     omega: float = 0.0,
     guidance_builder: Optional[Callable] = None,
     guidance_carry: Any = None,
+    guidance_params: Any = None,
     sub_iters: int = 0,
 ) -> Tuple[jnp.ndarray, Any]:
     """Reverse-denoise ONE scale on the shared canvas (jit-once for all).
@@ -164,6 +165,7 @@ def sample_via_scale_bucketed(
                 model_fn, sched, x, t, sub,
                 s=1, reblurring=reblurring, img_prev=img_prev, omega=omega,
                 guidance_fn=guidance_fn, guidance_carry=gcarry,
+                guidance_params=guidance_params,
                 gammas_row=gammas_row, s_value=s_value,
             )
             return xn * mask4, gcarry, aux.get(
@@ -210,6 +212,7 @@ def jit_bucketed_scale(
     s_index,
     total_t,
     text_embeds,
+    clip_params=None,
     *,
     extractor=None,
     max_t: int,
@@ -226,7 +229,10 @@ def jit_bucketed_scale(
     """ONE executable for every guided via-scale (and any canvas-size run).
 
     Traced: canvas state, guidance carry, valid sizes, scale index, t
-    budget, text embeddings. Static: scan length, guidance hyperparams.
+    budget, text embeddings, and ``clip_params`` (the CLIP tower variables
+    — MUST be traced at real ViT-B/32 scale; closed-over weights become
+    ~600 MB of HLO constants the remote compile service rejects).
+    Static: scan length, guidance hyperparams.
     Returns (canvas state, carry, clip scores [max_t, sub_iters]).
     """
     from sinddm_tpu.guidance.clip_guidance import ClipCarry, make_clip_guidance
@@ -269,5 +275,6 @@ def jit_bucketed_scale(
         s_index=s_index, total_t=total_t, max_t=max_t,
         reblurring=reblurring, omega=omega,
         guidance_builder=guidance_builder, guidance_carry=carry,
+        guidance_params=clip_params,
         sub_iters=sub_iters,
     )

@@ -158,6 +158,7 @@ def p_sample_step(
     clip_denoised: bool = True,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    guidance_params: Any = None,
     gammas_row: Optional[jnp.ndarray] = None,
     s_value: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Any, Dict[str, jnp.ndarray]]:
@@ -186,9 +187,18 @@ def p_sample_step(
     aux: Dict[str, jnp.ndarray] = {}
     if guidance_fn is not None:
         key, gkey = jax.random.split(key)
-        x_recon, guidance_carry, aux = guidance_fn(
-            x_recon, x, t, s if s_value is None else s_value, gkey, guidance_carry
-        )
+        s_arg = s if s_value is None else s_value
+        if guidance_params is None:
+            x_recon, guidance_carry, aux = guidance_fn(
+                x_recon, x, t, s_arg, gkey, guidance_carry
+            )
+        else:
+            # large frozen towers (CLIP) arrive as TRACED arguments, never
+            # as closure constants: a ViT-B/32 embedded as HLO constants
+            # is a ~600MB program the compile service rejects
+            x_recon, guidance_carry, aux = guidance_fn(
+                x_recon, x, t, s_arg, gkey, guidance_carry, guidance_params
+            )
 
     if reblurring and s > 0:
         # re-mix with gamma_{t-1} when t > 0 (models.py:434-438)
@@ -229,6 +239,7 @@ def _scan_reverse(
     omega: float,
     guidance_fn: Optional[GuidanceFn],
     guidance_carry: Any,
+    guidance_params: Any = None,
     collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
     """Run the reverse chain t = t_start-1 .. t_min as one lax.scan.
@@ -249,6 +260,7 @@ def _scan_reverse(
             model_fn, sched, x, t, sub,
             s=s, reblurring=reblurring, img_prev=img_prev, omega=omega,
             guidance_fn=guidance_fn, guidance_carry=gcarry,
+            guidance_params=guidance_params,
         )
         if collect_interm:
             aux = dict(aux, interm=x)
@@ -269,6 +281,7 @@ def sample_scale0(
     omega: float = 0.0,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    guidance_params: Any = None,
     sharding=None,
     collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
@@ -289,7 +302,7 @@ def sample_scale0(
         model_fn, sched, x, key, sched.num_timesteps, t_min,
         s=s, reblurring=False, img_prev=None, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
-        collect_interm=collect_interm,
+        guidance_params=guidance_params, collect_interm=collect_interm,
     )
 
 
@@ -306,6 +319,7 @@ def sample_via_scale(
     omega: float = 0.0,
     guidance_fn: Optional[GuidanceFn] = None,
     guidance_carry: Any = None,
+    guidance_params: Any = None,
     sharding=None,
     collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, Any, Any]:
@@ -326,7 +340,7 @@ def sample_via_scale(
         model_fn, sched, x, key, total_t, t_min,
         s=s, reblurring=reblurring, img_prev=img_prev, omega=omega,
         guidance_fn=guidance_fn, guidance_carry=guidance_carry,
-        collect_interm=collect_interm,
+        guidance_params=guidance_params, collect_interm=collect_interm,
     )
 
 

@@ -243,9 +243,19 @@ class ClipExtractor:
 
     # -- images --------------------------------------------------------
     def embed_image_views(
-        self, x01: jnp.ndarray, key: jax.Array, valid_hw=None, frame_hw=None
+        self, x01: jnp.ndarray, key: jax.Array, valid_hw=None, frame_hw=None,
+        variables=None,
     ) -> jnp.ndarray:
-        """[B, H, W, 3] in [0,1] -> [B, n_aug, D] embeddings of augmented views."""
+        """[B, H, W, 3] in [0,1] -> [B, n_aug, D] embeddings of augmented views.
+
+        ``variables`` overrides the constructor's CLIP weights: inside jit
+        the override arrives as a TRACED pytree, so the (possibly huge)
+        tower is an executable *argument* — closing over ``self.variables``
+        would bake it into the HLO as constants (~600 MB for ViT-B/32,
+        which the remote compile service rejects).
+        """
+        if variables is None:
+            variables = self.variables
         B = x01.shape[0]
         keys = jax.random.split(key, B)
         views = jax.vmap(
@@ -259,7 +269,7 @@ class ClipExtractor:
 
         def encode(v):
             return self.model.apply(
-                self.variables, clip_normalize(v), method=self.model.encode_image
+                variables, clip_normalize(v), method=self.model.encode_image
             )
 
         if self.remat:
@@ -275,8 +285,13 @@ class ClipExtractor:
         key: jax.Array,
         valid_hw=None,
         frame_hw=None,
+        variables=None,
     ) -> jnp.ndarray:
-        """Stochastic-template CLIP loss (clip_extractor.py:134-147)."""
+        """Stochastic-template CLIP loss (clip_extractor.py:134-147).
+
+        ``variables`` optionally overrides the tower weights (traced-arg
+        path, see :meth:`embed_image_views`).
+        """
         n_total = text_embeds.shape[0]
         kn, ki, ka = jax.random.split(key, 3)
         n_sel = jax.random.randint(kn, (), 1, n_total + 1)
@@ -285,7 +300,7 @@ class ClipExtractor:
         selected = text_embeds[idx]  # [n_total, D] (first n_sel count)
 
         img_embs = self.embed_image_views(
-            x01, ka, valid_hw=valid_hw, frame_hw=frame_hw
+            x01, ka, valid_hw=valid_hw, frame_hw=frame_hw, variables=variables
         )  # [B, n_aug, D]
         img_n = img_embs / jnp.linalg.norm(img_embs, axis=-1, keepdims=True)
         txt_n = selected / jnp.linalg.norm(selected, axis=-1, keepdims=True)

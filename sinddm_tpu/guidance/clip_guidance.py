@@ -145,7 +145,7 @@ def make_clip_guidance(
     n_valid = ctx.get("n_valid")
 
     def guided(args):
-        x_recon, t, key, carry = args
+        x_recon, t, key, carry, clip_params = args
         mask, x_prev, has_mask = carry
         x = jnp.clip(x_recon, -1.0, 1.0)
         blended = x * (1.0 - mask) + ((1.0 - llambda) * x_prev + llambda * x) * mask
@@ -159,6 +159,7 @@ def make_clip_guidance(
                 return -extractor.calculate_clip_loss(
                     (xr + 1.0) * 0.5, text_embeds, kl,
                     valid_hw=valid_hw, frame_hw=frame_hw,
+                    variables=clip_params,
                 )
 
             score, grad = jax.value_and_grad(loss_fn)(x)
@@ -186,24 +187,26 @@ def make_clip_guidance(
         return x, carry, jnp.stack(scores)
 
     def not_guided(args):
-        x_recon, t, key, carry = args
+        x_recon, t, key, carry, clip_params = args
         return x_recon, ClipCarry(*carry), jnp.zeros((sub_iters,))
 
-    def guidance_fn(x_recon, x_t, t, s_, key, carry):
+    def guidance_fn(x_recon, x_t, t, s_, key, carry, clip_params=None):
+        # ``clip_params`` (optional 7th arg, threaded by p_sample_step's
+        # guidance_params) carries the CLIP tower as a TRACED pytree; when
+        # None the extractor falls back to its constructor weights, which
+        # then embed in the graph as constants (fine for the tiny test
+        # fixture, fatal at ViT-B/32 scale — see clip_extractor.py).
         # gate: stop_guidance <= t or s < n_scales - 1 (models.py:368)
+        operands = (x_recon, t, key, carry, clip_params)
         if bucketed_ctx is not None:
             # s_ is traced in the bucketed graph: same gate, dynamically
             gate = jnp.logical_or(s_ < n_scales - 1, t >= stop_guidance)
-            x, carry, scores = jax.lax.cond(
-                gate, guided, not_guided, (x_recon, t, key, carry)
-            )
+            x, carry, scores = jax.lax.cond(gate, guided, not_guided, operands)
         elif s < n_scales - 1:
-            x, carry, scores = guided((x_recon, t, key, carry))
+            x, carry, scores = guided(operands)
         else:
             gate = t >= stop_guidance
-            x, carry, scores = jax.lax.cond(
-                gate, guided, not_guided, (x_recon, t, key, carry)
-            )
+            x, carry, scores = jax.lax.cond(gate, guided, not_guided, operands)
         return x, carry, {"clip_score": scores}
 
     return guidance_fn
