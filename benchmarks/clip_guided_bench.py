@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--bucketed", action="store_true",
                     help="route via scales through the shape-bucketed "
                          "sampler (1 compile for all guided scales)")
+    ap.add_argument("--view_chunk", type=int, default=4,
+                    help="views encoded+differentiated per sequential "
+                         "chunk (0 = all at once; OOMs at batch>=8)")
+    ap.add_argument("--seg_len", type=int, default=0,
+                    help="bucketed only: split each scale's chain into "
+                         "device calls of <= seg_len steps (0 = one call; "
+                         "the tunneled worker kills multi-minute calls)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip_unguided", action="store_true")
     ap.add_argument("--t_list", type=int, nargs="+", default=None,
@@ -82,7 +89,10 @@ def main() -> None:
         compute_dtype=None if args.clip_dtype == "float32" else args.clip_dtype,
     )
     clip_model, clip_vars = random_clip_params(cfg, seed=0)
-    extractor = ClipExtractor(clip_model, clip_vars, n_aug=args.n_aug)
+    extractor = ClipExtractor(
+        clip_model, clip_vars, n_aug=args.n_aug,
+        view_chunk=args.view_chunk or None,
+    )
     n_params = sum(x.size for x in jax.tree.leaves(clip_vars))
     print(
         f"setup {time.time()-t0:.1f}s  ViT-B/32 params={n_params/1e6:.1f}M "
@@ -113,6 +123,7 @@ def main() -> None:
         outs, aux = clip_sampling(
             model, params, sched, pyr, extractor, jax.random.PRNGKey(seed),
             precompile=args.precompile, bucketed=args.bucketed,
+            seg_len=args.seg_len or None,
             **guided_kwargs,
         )
         float(outs[-1].sum())  # scalar sync (block_until_ready lies here)
@@ -139,6 +150,8 @@ def main() -> None:
         "clip_dtype": args.clip_dtype,
         "precompile": bool(args.precompile),
         "bucketed": bool(args.bucketed),
+        "view_chunk": args.view_chunk,
+        "seg_len": args.seg_len,
         "cold_s": round(cold_s, 1),
         "warm_s": guided_warm,
         "warm_runs_s": warm,

@@ -62,6 +62,7 @@ def clip_sampling(
     sharding=None,
     precompile: bool = False,
     bucketed: bool = False,
+    seg_len: Optional[int] = None,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
     """Returns (per-scale outputs, per-scale aux with clip scores).
 
@@ -71,6 +72,8 @@ def clip_sampling(
     scale's compute on the finest-scale canvas. Only the start-from-noise
     modes use it (clip_style_trans's injection path keeps per-scale
     graphs); requires uniform ``guidance_sub_iters`` over the via scales.
+    ``seg_len`` (bucketed only) bounds each device call to that many scan
+    steps — see :func:`clip_sampling_bucketed`.
     """
     n = pyramid.n_scales
     if guidance_sub_iters is None:
@@ -126,6 +129,7 @@ def clip_sampling(
             custom_t_list=custom_t_list, guidance_sub_iters=guidance_sub_iters,
             quantile=quantile, stop_guidance=stop_guidance, scale_mul=scale_mul,
             llambda=llambda, reblurring=reblurring, omega=omega,
+            seg_len=seg_len,
         )
     if not start_noise:  # clip_style_trans: inject the training image
         custom_scales = [n - 2, n - 1]
@@ -177,6 +181,7 @@ def clip_sampling_bucketed(
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     reblurring: bool = False,
     omega: float = 0.0,
+    seg_len: Optional[int] = None,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
     """Start-from-noise guided pyramid on the shape-bucketed sampler.
 
@@ -186,6 +191,12 @@ def clip_sampling_bucketed(
     ``guidance_sub_iters`` over scales 1..n-1 (clip_content's [0,1,1,...]
     pattern; the style modes guide only the finest scale and gain nothing
     from bucketing).
+
+    ``seg_len`` splits each scale's reverse chain into device calls of at
+    most ``seg_len`` scan steps, all sharing ONE executable (the step
+    offset is traced). At real ViT-B/32 scale a full chain is a
+    multi-minute device call, which this backend's tunneled worker kills;
+    segmentation bounds call duration with bit-identical results.
     """
     from sinddm_tpu.apps.sampling import jit_sample_scale0
     from sinddm_tpu.diffusion.bucketed import (
@@ -241,21 +252,45 @@ def clip_sampling_bucketed(
     prev_canvas = place_on_canvas(x0, canvas)
     prev_valid = jnp.asarray([h0, w0], jnp.int32)
 
+    if seg_len is not None and seg_len >= max_t:
+        seg_len = None
+    n_segs = 1 if seg_len is None else -(-max_t // seg_len)
+
     for s in range(1, n):
         hs, ws = sizes[s]
         cur_valid = jnp.asarray([hs, ws], jnp.int32)
         key, sub = jax.random.split(key)
-        prev_canvas, carry, scores = jit_bucketed_scale(
-            model, params, sched, prev_canvas, carry, sub,
-            prev_valid, cur_valid,
-            jnp.asarray(s, jnp.int32), jnp.asarray(int(custom_t_list[s - 1])),
-            embeds_hr,
-            extractor.variables if sub_iters > 0 else None,
+        common = dict(
             extractor=extractor, max_t=max_t, sub_iters=sub_iters,
             n_scales=n, frame_hw=frame_hw, strength=strength,
             quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
-            omega=omega, reblurring=reblurring,
+            omega=omega, reblurring=reblurring, seg_len=seg_len,
         )
+        clip_params = extractor.variables if sub_iters > 0 else None
+        if seg_len is None:
+            prev_canvas, carry, scores, _ = jit_bucketed_scale(
+                model, params, sched, prev_canvas, carry, sub,
+                prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
+                jnp.asarray(int(custom_t_list[s - 1])), embeds_hr,
+                clip_params, **common,
+            )
+        else:
+            # bounded-duration device calls sharing one executable: thread
+            # (x, carry, key) through; prev_canvas stays the previous
+            # scale's output (reblur anchor) for every segment
+            x_seg, seg_key = prev_canvas, sub
+            parts = []
+            for gi in range(n_segs):
+                x_seg, carry, sc, seg_key = jit_bucketed_scale(
+                    model, params, sched, prev_canvas, carry, seg_key,
+                    prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
+                    jnp.asarray(int(custom_t_list[s - 1])), embeds_hr,
+                    clip_params, x_seg,
+                    jnp.asarray(gi * seg_len, jnp.int32), **common,
+                )
+                parts.append(sc)
+            prev_canvas = x_seg
+            scores = jnp.concatenate(parts, axis=0)[:max_t]
         outputs.append(prev_canvas[:, :hs, :ws, :])
         aux.append({"clip_score": scores})
         prev_valid = cur_valid
@@ -428,6 +463,7 @@ def run_clip_mode(
         scale_mul=scale_mul, reblurring=False, omega=args.omega,
         sharding=sharding, precompile=precompile,
         bucketed=getattr(args, "bucketed_guidance", False),
+        seg_len=getattr(args, "guidance_seg_len", None) or None,
         **cfg,
     )
     desc = f"{args.mode}_{args.clip_text.replace(' ', '_')}"

@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "graph on the finest-scale canvas (clip_content "
                         "only; cuts guided cold-start compiles from "
                         "n_scales to 2)")
+    p.add_argument("--guidance_seg_len", type=int, default=0,
+                   help="with --bucketed_guidance: cap each device call "
+                        "at N denoise steps (0 = whole scale per call); "
+                        "bounds call duration at real CLIP scale")
     p.add_argument("--load_reference_ckpt", default=None,
                    help="import a reference PyTorch model-{milestone}.pt "
                         "(denoiser + EMA weights) instead of --load_milestone")

@@ -114,7 +114,10 @@ def sample_via_scale_bucketed(
     guidance_carry: Any = None,
     guidance_params: Any = None,
     sub_iters: int = 0,
-) -> Tuple[jnp.ndarray, Any]:
+    x_carry: Optional[jnp.ndarray] = None,
+    j_offset=None,
+    seg_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Any, jnp.ndarray, jax.Array]:
     """Reverse-denoise ONE scale on the shared canvas (jit-once for all).
 
     ``model_fn_masked(x, t_vec, s_value, mask)`` is the valid-mask
@@ -122,6 +125,16 @@ def sample_via_scale_bucketed(
     static scan length (>= any total_t; inactive steps are cond-skipped).
     ``guidance_builder(valid_hw, valid_mask2d, n_valid) -> guidance_fn``
     constructs the CLIP hook with the traced canvas context.
+
+    Segmented mode (``seg_len``/``j_offset``/``x_carry`` set): run only
+    scan steps ``j_offset .. j_offset+seg_len-1`` of the same chain —
+    at real CLIP scale one full chain is a multi-minute device call,
+    which this tunneled backend's worker kills; the caller re-enters the
+    SAME executable per window, threading (x, key, guidance_carry).
+    The q_sample initialisation and the carry resize apply only when
+    ``j_offset == 0``, and the PRNG key is consumed exactly as in the
+    single-call path, so the segmented process is the same stochastic
+    process (outputs agree to cross-program fp tolerance, ~5e-6).
     """
     h, w = prev_canvas.shape[1:3]
     vmask2d = valid_mask_2d((h, w), cur_valid_hw)
@@ -150,12 +163,21 @@ def sample_via_scale_bucketed(
     if guidance_builder is not None and sub_iters > 0:
         guidance_fn = guidance_builder(cur_valid_hw, vmask2d, n_valid)
 
-    key, kn = jax.random.split(key)
+    key_in = key
+    key, kn = jax.random.split(key_in)
     noise = jax.random.normal(kn, img_prev.shape, dtype=img_prev.dtype)
     x = q_sample(sched, img_prev, jnp.asarray(total_t), noise) * mask4
+    if j_offset is None:
+        j0 = jnp.asarray(0, jnp.int32)
+    else:
+        j0 = jnp.asarray(j_offset, jnp.int32)
+        first = j0 == 0
+        x = jnp.where(first, x, x_carry)
+        key = jnp.where(first, key, key_in)
 
-    def body(carry, j):
+    def body(carry, jj):
         x, key, gcarry = carry
+        j = j0 + jj
         t = total_t - 1 - j
         key, sub = jax.random.split(key)
 
@@ -179,10 +201,11 @@ def sample_via_scale_bucketed(
         x, gcarry, score = jax.lax.cond(t >= 0, active, skip, (x, gcarry, sub))
         return (x, key, gcarry), score
 
-    (x, _, guidance_carry), scores = jax.lax.scan(
-        body, (x, key, guidance_carry), jnp.arange(max_t)
+    n_steps = max_t if seg_len is None else seg_len
+    (x, key, guidance_carry), scores = jax.lax.scan(
+        body, (x, key, guidance_carry), jnp.arange(n_steps)
     )
-    return x, guidance_carry, scores
+    return x, guidance_carry, scores, key
 
 
 def place_on_canvas(x: jnp.ndarray, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
@@ -197,7 +220,7 @@ def place_on_canvas(x: jnp.ndarray, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
     static_argnames=(
         "model", "extractor", "max_t", "sub_iters", "n_scales", "frame_hw",
         "strength", "quantile", "llambda", "stop_guidance", "omega",
-        "reblurring",
+        "reblurring", "seg_len",
     ),
 )
 def jit_bucketed_scale(
@@ -213,6 +236,8 @@ def jit_bucketed_scale(
     total_t,
     text_embeds,
     clip_params=None,
+    x_carry=None,
+    j_offset=None,
     *,
     extractor=None,
     max_t: int,
@@ -225,6 +250,7 @@ def jit_bucketed_scale(
     stop_guidance: int = 3,
     omega: float = 0.0,
     reblurring: bool = False,
+    seg_len: Optional[int] = None,
 ):
     """ONE executable for every guided via-scale (and any canvas-size run).
 
@@ -233,7 +259,12 @@ def jit_bucketed_scale(
     — MUST be traced at real ViT-B/32 scale; closed-over weights become
     ~600 MB of HLO constants the remote compile service rejects).
     Static: scan length, guidance hyperparams.
-    Returns (canvas state, carry, clip scores [max_t, sub_iters]).
+    Returns (canvas state, carry, clip scores [n_steps, sub_iters], key).
+
+    Segmented mode (static ``seg_len`` + traced ``j_offset``/``x_carry``):
+    runs scan steps ``j_offset .. j_offset+seg_len-1`` only; re-enter the
+    same executable with the returned (canvas, carry, key) threaded back
+    in to continue the chain (see ``sample_via_scale_bucketed``).
     """
     from sinddm_tpu.guidance.clip_guidance import ClipCarry, make_clip_guidance
 
@@ -241,9 +272,11 @@ def jit_bucketed_scale(
         return model.apply({"params": params}, x, t_vec, s_val, mask=mask4)
 
     # resize guidance state valid-region -> valid-region (reference
-    # models.py:528-532; the s==0 mask drop never applies on via scales)
+    # models.py:528-532; the s==0 mask drop never applies on via scales).
+    # In segmented mode the resize belongs to the chain *start* only — a
+    # carry re-entering for segment j>0 already lives on cur_valid.
     if carry is not None:
-        carry = ClipCarry(
+        resized = ClipCarry(
             mask=dynamic_resize_into_canvas(
                 carry.mask, prev_valid_hw, cur_valid_hw
             ),
@@ -252,6 +285,13 @@ def jit_bucketed_scale(
             ),
             has_mask=carry.has_mask,
         )
+        if j_offset is not None:
+            first = jnp.asarray(j_offset, jnp.int32) == 0
+            carry = jax.tree.map(
+                lambda a, b: jnp.where(first, a, b), resized, carry
+            )
+        else:
+            carry = resized
 
     guidance_builder = None
     if sub_iters > 0:
@@ -277,4 +317,5 @@ def jit_bucketed_scale(
         guidance_builder=guidance_builder, guidance_carry=carry,
         guidance_params=clip_params,
         sub_iters=sub_iters,
+        x_carry=x_carry, j_offset=j_offset, seg_len=seg_len,
     )

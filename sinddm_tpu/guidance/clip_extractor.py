@@ -149,6 +149,54 @@ def _augs_matrix_and_color(
     return matrix, color_fn
 
 
+def augment_views_subset(
+    keys_crop: jnp.ndarray,
+    keys_aug: jnp.ndarray,
+    idxs: jnp.ndarray,
+    img: jnp.ndarray,
+    fill: float = 1.0,
+    valid_hw=None,
+    frame_hw: "Tuple[int, int] | None" = None,
+) -> jnp.ndarray:
+    """Build the views named by ``idxs`` for one image: [len(idxs), ch, cw, 3].
+
+    ``keys_crop[j]``/``keys_aug[j]`` are the per-view PRNG keys for view
+    ``idxs[j]`` (the caller pre-splits so any subset reproduces exactly
+    what :func:`augment_views` would build for those indices — the
+    memory-bounded chunked encoder in :meth:`ClipExtractor.embed_image_views`
+    relies on this).
+    """
+    if valid_hw is None:
+        h, w = img.shape[0], img.shape[1]
+    else:
+        h = valid_hw[0].astype(jnp.float32)
+        w = valid_hw[1].astype(jnp.float32)
+    ch, cw = (
+        resize_output_size(img.shape[0], img.shape[1])
+        if frame_hw is None
+        else frame_hw
+    )
+    def one_view(i, kc, ka):
+        # crop/resize stage (h/w may be traced when valid_hw is given)
+        full = W.crop_resize_matrix(0.0, 0.0, 1.0 * h, 1.0 * w, (ch, cw))
+
+        s = jax.random.uniform(kc, minval=0.6, maxval=1.0)
+        crop_h = jnp.floor(h * s)
+        crop_w = jnp.floor(w * s)
+        ky, kx = jax.random.split(jax.random.fold_in(kc, 1))
+        y0 = jnp.floor(jax.random.uniform(ky) * (h - crop_h + 1))
+        x0 = jnp.floor(jax.random.uniform(kx) * (w - crop_w + 1))
+        crop = W.crop_resize_matrix(y0, x0, crop_h, crop_w, (ch, cw))
+
+        m_crop = jnp.where(i == 0, full, crop)
+        m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
+        m_total = m_crop @ m_augs
+        view = W.warp_homography(img, m_total, (ch, cw), fill=fill)
+        return jnp.clip(color_fn(jnp.clip(view, 0.0, 1.0)), 0.0, 1.0)
+
+    return jax.vmap(one_view)(idxs, keys_crop, keys_aug)
+
+
 def augment_views(
     key: jax.Array,
     img: jnp.ndarray,
@@ -169,47 +217,19 @@ def augment_views(
     ``frame_hw`` then fixes the (static) view frame (the per-scale frame
     would otherwise depend on the traced size).
     """
-    if valid_hw is None:
-        h, w = img.shape[0], img.shape[1]
-    else:
-        h = valid_hw[0].astype(jnp.float32)
-        w = valid_hw[1].astype(jnp.float32)
-    ch, cw = (
-        resize_output_size(img.shape[0], img.shape[1])
-        if frame_hw is None
-        else frame_hw
-    )
     keys = jax.random.split(key, 2 * n_aug)
-
-    def one_view(i, kc, ka):
-        # crop/resize stage (h/w may be traced when valid_hw is given)
-        full = W.crop_resize_matrix(0.0, 0.0, 1.0 * h, 1.0 * w, (ch, cw))
-
-        s = jax.random.uniform(kc, minval=0.6, maxval=1.0)
-        crop_h = jnp.floor(h * s)
-        crop_w = jnp.floor(w * s)
-        ky, kx = jax.random.split(jax.random.fold_in(kc, 1))
-        y0 = jnp.floor(jax.random.uniform(ky) * (h - crop_h + 1))
-        x0 = jnp.floor(jax.random.uniform(kx) * (w - crop_w + 1))
-        crop = W.crop_resize_matrix(y0, x0, crop_h, crop_w, (ch, cw))
-
-        m_crop = jnp.where(i == 0, full, crop)
-        m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
-        m_total = m_crop @ m_augs
-        view = W.warp_homography(img, m_total, (ch, cw), fill=fill)
-        return jnp.clip(color_fn(jnp.clip(view, 0.0, 1.0)), 0.0, 1.0)
-
-    views = jax.vmap(one_view)(
-        jnp.arange(n_aug), keys[:n_aug], keys[n_aug:]
+    return augment_views_subset(
+        keys[:n_aug], keys[n_aug:], jnp.arange(n_aug), img,
+        fill=fill, valid_hw=valid_hw, frame_hw=frame_hw,
     )
-    return views
 
 
 class ClipExtractor:
     """Frozen CLIP + guidance losses. All heavy paths are jit/grad-safe."""
 
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
-                 affine_fill: float = 1.0, remat: bool = True):
+                 affine_fill: float = 1.0, remat: bool = True,
+                 view_chunk: "int | None" = 4):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
@@ -218,7 +238,23 @@ class ClipExtractor:
         # differentiates through B x n_aug ViT forwards — without remat a
         # real ViT-B/32 at batch 16 holds ~GBs of activations
         self.remat = remat
+        # encode (and differentiate) at most view_chunk views per image at
+        # a time, sequentially via lax.map: the VJP of the view warp is a
+        # canvas-shaped scatter-add per (image, view, bilinear tap), and
+        # batching all B x n_aug of them peaks at ~10 GB HBM for batch 16
+        # at ViT-B/32 scale (measured OOM: 11 x 894 MB
+        # [4, B, n_aug, H, W, 3] sort-scatter buffers). None = all at once.
+        self.view_chunk = view_chunk
         self.cfg = {"n_aug": n_aug}
+
+    def _chunk_size(self) -> int:
+        """Largest divisor of n_aug that is <= view_chunk."""
+        if self.view_chunk is None or self.view_chunk >= self.n_aug:
+            return self.n_aug
+        c = max(1, min(self.view_chunk, self.n_aug))
+        while self.n_aug % c:
+            c -= 1
+        return c
 
     # -- text ----------------------------------------------------------
     def get_text_embedding(
@@ -257,25 +293,49 @@ class ClipExtractor:
         if variables is None:
             variables = self.variables
         B = x01.shape[0]
+        n_aug = self.n_aug
         keys = jax.random.split(key, B)
-        views = jax.vmap(
-            lambda img, k: augment_views(
-                k, img, self.n_aug, self.affine_fill,
-                valid_hw=valid_hw, frame_hw=frame_hw,
-            )
-        )(x01, keys)  # [B, n_aug, ch, cw, 3]
-        bn = B * self.n_aug
-        flat = views.reshape((bn,) + views.shape[2:])
+        # same per-image key fan-out as augment_views, pre-split so the
+        # views can be built (and differentiated) in chunks
+        perk = jax.vmap(lambda k: jax.random.split(k, 2 * n_aug))(keys)
+        kcs, kas = perk[:, :n_aug], perk[:, n_aug:]  # [B, n_aug, ...]
+        c = self._chunk_size()
+        n_chunks = n_aug // c
 
-        def encode(v):
-            return self.model.apply(
-                variables, clip_normalize(v), method=self.model.encode_image
+        def encode_chunk(args):
+            """views idc (all images) -> [B, c, D] embeddings."""
+            idc, kc, ka = args  # [c], [B, c, ...], [B, c, ...]
+            views = jax.vmap(
+                lambda img, kcb, kab: augment_views_subset(
+                    kcb, kab, idc, img, self.affine_fill,
+                    valid_hw=valid_hw, frame_hw=frame_hw,
+                )
+            )(x01, kc, ka)  # [B, c, ch, cw, 3]
+            flat = views.reshape((B * c,) + views.shape[2:])
+            embs = self.model.apply(
+                variables, clip_normalize(flat),
+                method=self.model.encode_image,
             )
+            return embs.reshape(B, c, -1)
 
         if self.remat:
-            encode = jax.checkpoint(encode)
-        embs = encode(flat)
-        return embs.reshape(B, self.n_aug, -1)
+            encode_chunk = jax.checkpoint(encode_chunk)
+
+        idxs = jnp.arange(n_aug)
+        if n_chunks == 1:
+            return encode_chunk((idxs, kcs, kas))
+        # sequential over chunks: bounds both the encoder's activation
+        # memory and the warp-VJP scatter buffers to one chunk at a time
+        def to_chunks(a):
+            return jnp.moveaxis(
+                a.reshape((B, n_chunks, c) + a.shape[2:]), 0, 1
+            )
+
+        embs = jax.lax.map(
+            encode_chunk,
+            (idxs.reshape(n_chunks, c), to_chunks(kcs), to_chunks(kas)),
+        )  # [n_chunks, B, c, D]
+        return jnp.moveaxis(embs, 0, 1).reshape(B, n_aug, -1)
 
     # -- loss ----------------------------------------------------------
     def calculate_clip_loss(

@@ -116,7 +116,7 @@ def test_bucketed_unguided_equals_per_scale_graph(guided_setup):
         model, params, sched, prev, key, (hs, ws), s, total_t, 0,
         True, 0.0,
     )
-    out, _, _ = jit_bucketed_scale(
+    out, _, _, _ = jit_bucketed_scale(
         model, params, sched, place_on_canvas(prev, (hs, ws)), None, key,
         jnp.asarray([hp, wp], jnp.int32), jnp.asarray([hs, ws], jnp.int32),
         jnp.asarray(s, jnp.int32), jnp.asarray(total_t),
@@ -166,7 +166,7 @@ def test_bucketed_guided_matches_per_scale_graph_closely(guided_setup):
         guidance_carry=init_clip_carry(B, (hs, ws)),
     )
 
-    out, carry, scores = jit_bucketed_scale(
+    out, carry, scores, _ = jit_bucketed_scale(
         model, params, sched, place_on_canvas(prev, (hs, ws)),
         init_clip_carry(B, (hs, ws)), key,
         jnp.asarray([hp, wp], jnp.int32), jnp.asarray([hs, ws], jnp.int32),
@@ -209,6 +209,44 @@ def test_bucketed_full_pyramid_runs_one_executable(guided_setup):
     assert np.isfinite(scores).all() and (scores != 0).any()
 
 
+def test_segmented_bucketed_matches_single_call(guided_setup):
+    """seg_len splits the chain into several device calls threading
+    (x, carry, key) through ONE executable — the stochastic process and
+    PRNG stream are identical to the single-call path (init applied only
+    at segment 0), so results agree to cross-program fp tolerance
+    (measured max |diff| 5e-6: the two executables fuse differently).
+    clip_sampling_bucketed drives the threading."""
+    from sinddm_tpu.apps.clip_apps import clip_sampling
+    from sinddm_tpu.diffusion.bucketed import jit_bucketed_scale
+
+    model, params, sched, pyr, extractor = guided_setup
+    n = pyr.n_scales
+    kwargs = dict(
+        text_input="a tree", strength=0.2, sample_batch_size=2,
+        custom_t_list=[5] * (n - 1), guidance_sub_iters=[0] + [1] * (n - 1),
+        quantile=0.5, llambda=0.1, stop_guidance=2, bucketed=True,
+    )
+    outs_full, aux_full = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(3), **kwargs
+    )
+    jit_bucketed_scale._clear_cache()
+    outs_seg, aux_seg = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(3),
+        seg_len=2, **kwargs,  # 5 steps -> 3 segments (2+2+1)
+    )
+    # one executable serves every segment of every via scale
+    assert jit_bucketed_scale._cache_size() == 1
+    for a, b in zip(outs_full, outs_seg):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        )
+    for a, b in zip(aux_full[1:], aux_seg[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a["clip_score"]), np.asarray(b["clip_score"]),
+            atol=1e-4,
+        )
+
+
 def test_bucketed_reblurring_variant_runs(guided_setup):
     """The reblur path (traced gamma-row gather) compiles and runs."""
     from sinddm_tpu.diffusion.bucketed import jit_bucketed_scale
@@ -223,7 +261,7 @@ def test_bucketed_reblurring_variant_runs(guided_setup):
         jax.random.PRNGKey(2), (B, h0, w0, 3), minval=-1.0, maxval=1.0
     )
     for s in range(1, n):
-        out, _, _ = jit_bucketed_scale(
+        out, _, _, _ = jit_bucketed_scale(
             model, params, sched, place_on_canvas(prev, (hs, ws)), None,
             jax.random.PRNGKey(s),
             jnp.asarray(pyr.sizes_hw[s - 1], jnp.int32),
