@@ -235,7 +235,7 @@ def fused_conv_block(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole array; see kernel
+            pl.BlockSpec(memory_space=pl.ANY),  # whole array; see kernel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cond [B, C], whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bdw

@@ -94,7 +94,7 @@ def depthwise_conv5x5(
         functools.partial(_dw_kernel, th=th, w=w, cpad=cpad, nh=nh),
         grid=(b * nh,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
