@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--clip_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--mm_adjoint", action="store_true",
+                    help="matmul image-adjoint for the view warps instead "
+                         "of autodiff's sort-based scatter")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args()
 
@@ -72,7 +75,10 @@ def main() -> None:
         compute_dtype=None if args.clip_dtype == "float32" else args.clip_dtype,
     )
     clip_model, clip_vars = random_clip_params(cfg, seed=0)
-    extractor = ClipExtractor(clip_model, clip_vars, n_aug=n_aug, view_chunk=c)
+    extractor = ClipExtractor(
+        clip_model, clip_vars, n_aug=n_aug, view_chunk=c,
+        mm_adjoint=args.mm_adjoint,
+    )
 
     key = jax.random.PRNGKey(0)
     x01 = jax.random.uniform(key, (B, H, W, 3))
@@ -95,7 +101,7 @@ def main() -> None:
         "metric": "guided_cost_breakdown",
         "batch": B, "n_aug": n_aug, "view_chunk": c,
         "clip_dtype": args.clip_dtype, "canvas_hw": [H, W],
-        "view_hw": [ch, cw],
+        "view_hw": [ch, cw], "mm_adjoint": bool(args.mm_adjoint),
     }
 
     # ---- tower-only forward+backward on one chunk's view load -----------
@@ -127,7 +133,7 @@ def main() -> None:
         def loss(xx):
             views = jax.vmap(
                 lambda img, kcb, kab: augment_views_subset(
-                    kcb, kab, idc, img, 1.0
+                    kcb, kab, idc, img, 1.0, mm_adjoint=args.mm_adjoint
                 )
             )(xx, kcs, kas)
             return jnp.sum(views * views)

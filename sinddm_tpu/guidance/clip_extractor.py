@@ -157,6 +157,7 @@ def augment_views_subset(
     fill: float = 1.0,
     valid_hw=None,
     frame_hw: "Tuple[int, int] | None" = None,
+    mm_adjoint: bool = False,
 ) -> jnp.ndarray:
     """Build the views named by ``idxs`` for one image: [len(idxs), ch, cw, 3].
 
@@ -191,7 +192,9 @@ def augment_views_subset(
         m_crop = jnp.where(i == 0, full, crop)
         m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
         m_total = m_crop @ m_augs
-        view = W.warp_homography(img, m_total, (ch, cw), fill=fill)
+        view = W.warp_homography(
+            img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint
+        )
         return jnp.clip(color_fn(jnp.clip(view, 0.0, 1.0)), 0.0, 1.0)
 
     return jax.vmap(one_view)(idxs, keys_crop, keys_aug)
@@ -204,6 +207,7 @@ def augment_views(
     fill: float = 1.0,
     valid_hw=None,
     frame_hw: "Tuple[int, int] | None" = None,
+    mm_adjoint: bool = False,
 ) -> jnp.ndarray:
     """One image [H, W, 3] in [0,1] -> [n_aug, ch, cw, 3] augmented views.
 
@@ -221,6 +225,7 @@ def augment_views(
     return augment_views_subset(
         keys[:n_aug], keys[n_aug:], jnp.arange(n_aug), img,
         fill=fill, valid_hw=valid_hw, frame_hw=frame_hw,
+        mm_adjoint=mm_adjoint,
     )
 
 
@@ -229,7 +234,7 @@ class ClipExtractor:
 
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
                  affine_fill: float = 1.0, remat: bool = True,
-                 view_chunk: "int | None" = 4):
+                 view_chunk: "int | None" = 4, mm_adjoint: bool = True):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
@@ -245,6 +250,11 @@ class ClipExtractor:
         # at ViT-B/32 scale (measured OOM: 11 x 894 MB
         # [4, B, n_aug, H, W, 3] sort-scatter buffers). None = all at once.
         self.view_chunk = view_chunk
+        # matmul image-adjoint for the view warps: the autodiff scatter
+        # adjoint is 84% of a guided step at ViT-B/32 scale
+        # (benchmarks/guided_cost_breakdown.json); the mm path is exact
+        # to fp32 tolerance and needs no matrix gradients (RNG draws)
+        self.mm_adjoint = mm_adjoint
         self.cfg = {"n_aug": n_aug}
 
     def _chunk_size(self) -> int:
@@ -309,6 +319,7 @@ class ClipExtractor:
                 lambda img, kcb, kab: augment_views_subset(
                     kcb, kab, idc, img, self.affine_fill,
                     valid_hw=valid_hw, frame_hw=frame_hw,
+                    mm_adjoint=self.mm_adjoint,
                 )
             )(x01, kc, ka)  # [B, c, ch, cw, 3]
             flat = views.reshape((B * c,) + views.shape[2:])

@@ -16,6 +16,7 @@ coords (the inverse map used by the sampler).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -58,13 +59,122 @@ def bilinear_sample(
     return out
 
 
+def _row_col_weights(coords: jnp.ndarray, H: int, W: int):
+    """Per-sample clipped tap indices and in-bounds-masked tap weights.
+
+    Returns (y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1), each [...]-shaped,
+    reproducing exactly the tap/boundary convention of
+    :func:`bilinear_sample`: taps at (floor, floor+1) per axis, weights
+    zeroed (not renormalized) for out-of-range taps, indices clipped.
+    The 2-D tap weight factorizes: w(yi, xj) = ryi * rxj.
+    """
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1, y1 = x0 + 1, y0 + 1
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+    iny0 = (y0 >= 0) & (y0 <= H - 1)
+    iny1 = (y1 >= 0) & (y1 <= H - 1)
+    inx0 = (x0 >= 0) & (x0 <= W - 1)
+    inx1 = (x1 >= 0) & (x1 <= W - 1)
+    return (
+        jnp.clip(y0, 0, H - 1).astype(jnp.int32),
+        jnp.clip(y1, 0, H - 1).astype(jnp.int32),
+        jnp.clip(x0, 0, W - 1).astype(jnp.int32),
+        jnp.clip(x1, 0, W - 1).astype(jnp.int32),
+        jnp.where(iny0, wy0, 0.0),
+        jnp.where(iny1, wy1, 0.0),
+        jnp.where(inx0, wx0, 0.0),
+        jnp.where(inx1, wx1, 0.0),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_sample_mm(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
+) -> jnp.ndarray:
+    """:func:`bilinear_sample` with a matmul-based adjoint w.r.t. ``img``.
+
+    Autodiff's adjoint of the 4-tap gather is a scatter-add, which XLA
+    lowers to a sort-based scatter — measured at 874 ms per 64-view
+    guided chunk, 84% of a guided timestep at ViT-B/32 scale
+    (``benchmarks/guided_cost_breakdown.json``). Bilinear taps factorize
+    into row/col terms, so the exact cotangent is, per channel c,
+
+        ct_img[:, :, c] = (A * ct[:, c:c+1])^T @ B
+
+    where A[q, Y] / B[q, X] are two-nonzero "soft one-hot" matrices over
+    the flattened output pixels q holding the in-bounds-masked tap
+    weights — one MXU matmul per channel instead of a 17M-element
+    scatter. ``precision='highest'`` keeps it fp32-exact (each output
+    element sums only the handful of output pixels whose taps hit it).
+
+    NON-differentiable w.r.t. ``coords`` and ``fill`` (their cotangents
+    are zero): use :func:`bilinear_sample` where coordinate gradients
+    matter. Guidance only differentiates w.r.t. the image — the view
+    homographies are RNG draws.
+    """
+    return bilinear_sample(img, coords, fill=fill)
+
+
+def _bilinear_sample_mm_fwd(img, coords, fill):
+    return bilinear_sample(img, coords, fill=fill), (img, coords)
+
+
+def _bilinear_sample_mm_bwd(fill, res, ct):
+    img, coords = res
+    H, W = img.shape[0], img.shape[1]
+    C = img.shape[2]
+    y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1 = _row_col_weights(coords, H, W)
+
+    def flat(a):
+        return a.reshape(-1)
+
+    y0f, y1f = flat(y0c), flat(y1c)
+    x0f, x1f = flat(x0c), flat(x1c)
+    ys = jnp.arange(H, dtype=jnp.int32)
+    xs = jnp.arange(W, dtype=jnp.int32)
+    # [N, H] / [N, W] soft one-hots (<= 2 nonzeros per row)
+    A = (
+        flat(ry0)[:, None] * (y0f[:, None] == ys[None, :])
+        + flat(ry1)[:, None] * (y1f[:, None] == ys[None, :])
+    ).astype(ct.dtype)
+    B = (
+        flat(rx0)[:, None] * (x0f[:, None] == xs[None, :])
+        + flat(rx1)[:, None] * (x1f[:, None] == xs[None, :])
+    ).astype(ct.dtype)
+    ct_flat = ct.reshape(-1, C)
+
+    def one_channel(c):
+        return jnp.einsum(
+            "qy,qx->yx", A * ct_flat[:, c][:, None], B,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # channel count is tiny and static; a python loop keeps peak memory at
+    # one [N, H] folded operand per channel
+    ct_img = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
+    return ct_img.astype(img.dtype), jnp.zeros_like(coords)
+
+
+bilinear_sample_mm.defvjp(_bilinear_sample_mm_fwd, _bilinear_sample_mm_bwd)
+
+
 def warp_homography(
     img: jnp.ndarray,
     matrix: jnp.ndarray,
     out_hw: Tuple[int, int],
     fill: float = 0.0,
+    mm_adjoint: bool = False,
 ) -> jnp.ndarray:
-    """Warp img [H, W, C] by the out->in homography; output [h, w, C]."""
+    """Warp img [H, W, C] by the out->in homography; output [h, w, C].
+
+    ``mm_adjoint=True`` routes through :func:`bilinear_sample_mm` (matmul
+    image-adjoint, no gradient to ``matrix``) — the fast path for
+    guidance, which differentiates w.r.t. the image only.
+    """
     h, w = out_hw
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32),
@@ -77,7 +187,8 @@ def warp_homography(
     src = src[..., :2] / jnp.maximum(jnp.abs(src[..., 2:3]), 1e-8) * jnp.sign(
         src[..., 2:3]
     )
-    return bilinear_sample(img, src, fill=fill)
+    sampler = bilinear_sample_mm if mm_adjoint else bilinear_sample
+    return sampler(img, src, fill=fill)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,83 @@ def test_augment_views_differentiable():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_mm_adjoint_matches_autodiff_scatter():
+    """bilinear_sample_mm's matmul image-adjoint == autodiff's scatter.
+
+    Random homographies (incl. strong perspective pushing taps out of
+    bounds and a non-zero fill) through the full augment pipeline: the
+    gradient w.r.t. the image must agree with the plain autodiff path to
+    fp32 tolerance. The mm path is the guided-mode default — it removes
+    the sort-based scatter that was 84% of a guided step on the TPU
+    (benchmarks/guided_cost_breakdown.json)."""
+    img = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(4), (30, 44, 3)), 0.0, 1.0
+    )
+    ch, cw = resize_output_size(30, 44)
+    ct = jax.random.normal(jax.random.PRNGKey(5), (4, ch, cw, 3))
+
+    def f(x, mm):
+        views = augment_views(
+            jax.random.PRNGKey(6), x, n_aug=4, fill=0.7, mm_adjoint=mm
+        )
+        return jnp.sum(views * ct)
+
+    v_ref, g_ref = jax.value_and_grad(lambda x: f(x, False))(img)
+    v_mm, g_mm = jax.value_and_grad(lambda x: f(x, True))(img)
+    assert float(v_ref) == float(v_mm)  # identical forward
+    np.testing.assert_allclose(
+        np.asarray(g_mm), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mm_adjoint_raw_warp_oob_and_fill():
+    """Direct warp_homography check with taps far out of bounds."""
+    from sinddm_tpu.ops.warp import warp_homography
+
+    img = jax.random.uniform(jax.random.PRNGKey(7), (17, 23, 3))
+    # scale + shift pushing much of the output frame outside the image
+    m = jnp.asarray(
+        [[0.9, 0.15, -6.0], [-0.1, 1.4, 3.0], [1e-3, -2e-3, 1.0]]
+    )
+    ct = jax.random.normal(jax.random.PRNGKey(8), (20, 28, 3))
+
+    def f(x, mm):
+        return jnp.sum(
+            warp_homography(x, m, (20, 28), fill=0.3, mm_adjoint=mm) * ct
+        )
+
+    g_ref = jax.grad(lambda x: f(x, False))(img)
+    g_mm = jax.grad(lambda x: f(x, True))(img)
+    np.testing.assert_allclose(
+        np.asarray(g_mm), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_mm_adjoint_extractor_loss_grad_matches(tiny_extractor):
+    """End-to-end guidance-loss gradients agree across adjoint paths."""
+    x01 = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(9), (2, 26, 34, 3)), 0, 1
+    )
+    key = jax.random.PRNGKey(10)
+    text = jax.random.normal(
+        jax.random.PRNGKey(11), (5, tiny_extractor.model.cfg.embed_dim)
+    )
+
+    grads = {}
+    for mm in (False, True):
+        ex = ClipExtractor(
+            tiny_extractor.model, tiny_extractor.variables,
+            n_aug=4, mm_adjoint=mm,
+        )
+        grads[mm] = jax.grad(
+            lambda x: ex.calculate_clip_loss(x, text, key)
+        )(x01)
+    np.testing.assert_allclose(
+        np.asarray(grads[True]), np.asarray(grads[False]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_thresholded_grad_quantile_semantics():
     rng = np.random.default_rng(0)
     grad = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
