@@ -312,6 +312,19 @@ class ClipExtractor:
         c = self._chunk_size()
         n_chunks = n_aug // c
 
+        def tower(flat):
+            return self.model.apply(
+                variables, clip_normalize(flat),
+                method=self.model.encode_image,
+            )
+
+        if self.remat:
+            # remat ONLY the ViT tower: its activations are the ~GBs that
+            # matter at B x n_aug views; the augmentation warps are cheap
+            # to store ([B*c, ch, cw, 3] views per chunk) but expensive to
+            # re-run backward (the forward gather + color pipeline)
+            tower = jax.checkpoint(tower)
+
         def encode_chunk(args):
             """views idc (all images) -> [B, c, D] embeddings."""
             idc, kc, ka = args  # [c], [B, c, ...], [B, c, ...]
@@ -323,14 +336,8 @@ class ClipExtractor:
                 )
             )(x01, kc, ka)  # [B, c, ch, cw, 3]
             flat = views.reshape((B * c,) + views.shape[2:])
-            embs = self.model.apply(
-                variables, clip_normalize(flat),
-                method=self.model.encode_image,
-            )
+            embs = tower(flat)
             return embs.reshape(B, c, -1)
-
-        if self.remat:
-            encode_chunk = jax.checkpoint(encode_chunk)
 
         idxs = jnp.arange(n_aug)
         if n_chunks == 1:
