@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--mm_adjoint", action="store_true",
                     help="matmul image-adjoint for the view warps instead "
                          "of autodiff's sort-based scatter")
+    ap.add_argument("--no_save_views", action="store_true",
+                    help="disable the remat policy that keeps the view "
+                         "tensors as residuals (i.e. re-run the warp in "
+                         "the backward replay, the pre-round-3 behavior)")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args()
 
@@ -77,7 +81,7 @@ def main() -> None:
     clip_model, clip_vars = random_clip_params(cfg, seed=0)
     extractor = ClipExtractor(
         clip_model, clip_vars, n_aug=n_aug, view_chunk=c,
-        mm_adjoint=args.mm_adjoint,
+        mm_adjoint=args.mm_adjoint, save_views=not args.no_save_views,
     )
 
     key = jax.random.PRNGKey(0)
@@ -102,6 +106,7 @@ def main() -> None:
         "batch": B, "n_aug": n_aug, "view_chunk": c,
         "clip_dtype": args.clip_dtype, "canvas_hw": [H, W],
         "view_hw": [ch, cw], "mm_adjoint": bool(args.mm_adjoint),
+        "save_views": not args.no_save_views,
     }
 
     # ---- tower-only forward+backward on one chunk's view load -----------
@@ -141,6 +146,46 @@ def main() -> None:
 
     out["warp_fb_chunk_ms"] = round(timeit(warp_fb, x01), 1)
     print(f"warp f+b  [{B},{c} views]: {out['warp_fb_chunk_ms']} ms",
+          file=_sys.stderr)
+
+    @jax.jit
+    def warp_fwd(x):
+        views = jax.vmap(
+            lambda img, kcb, kab: augment_views_subset(
+                kcb, kab, idc, img, 1.0, mm_adjoint=args.mm_adjoint
+            )
+        )(x, kcs, kas)
+        return jnp.sum(views * views)
+
+    out["warp_fwd_chunk_ms"] = round(timeit(warp_fwd, x01), 1)
+    out["warp_bwd_chunk_ms"] = round(
+        out["warp_fb_chunk_ms"] - out["warp_fwd_chunk_ms"], 1
+    )
+    print(f"warp fwd  [{B},{c} views]: {out['warp_fwd_chunk_ms']} ms "
+          f"(=> bwd ~{out['warp_bwd_chunk_ms']} ms)", file=_sys.stderr)
+
+    # gather-only forward (no color pipeline): same view count/shapes,
+    # fixed homographies — isolates the bilinear gather from the
+    # jitter/grayscale color ops inside the 'warp fwd' number
+    from sinddm_tpu.ops import warp as Wmod
+
+    mats = jnp.tile(
+        jnp.asarray(
+            [[0.83, 0.02, 1.0], [-0.02, 0.83, 2.0], [1e-5, -1e-5, 1.0]]
+        )[None],
+        (B * c, 1, 1),
+    )
+
+    @jax.jit
+    def gather_fwd(x):
+        imgs = jnp.repeat(x, c, axis=0)  # [B*c, H, W, 3]
+        views = jax.vmap(
+            lambda img, m: Wmod.warp_homography(img, m, (ch, cw), fill=1.0)
+        )(imgs, mats)
+        return jnp.sum(views * views)
+
+    out["gather_fwd_chunk_ms"] = round(timeit(gather_fwd, x01), 1)
+    print(f"gather-only fwd [{B*c} views]: {out['gather_fwd_chunk_ms']} ms",
           file=_sys.stderr)
 
     # ---- full guidance loss f+b (all n_aug views, chunked) ---------------

@@ -31,6 +31,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from sinddm_tpu.models.clip.model import CLIPModel, clip_normalize
 from sinddm_tpu.models.clip.tokenizer import tokenize
@@ -195,6 +196,11 @@ def augment_views_subset(
         view = W.warp_homography(
             img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint
         )
+        # named so ClipExtractor's remat policy can keep the warp output
+        # as a residual: the warp is the costly stage (gather or matmul),
+        # and its own VJP needs only (img, coords) — saving its output
+        # lets the backward recompute skip re-running it entirely
+        view = checkpoint_name(view, "warp_out")
         return jnp.clip(color_fn(jnp.clip(view, 0.0, 1.0)), 0.0, 1.0)
 
     return jax.vmap(one_view)(idxs, keys_crop, keys_aug)
@@ -234,7 +240,8 @@ class ClipExtractor:
 
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
                  affine_fill: float = 1.0, remat: bool = True,
-                 view_chunk: "int | None" = 4, mm_adjoint: bool = True):
+                 view_chunk: "int | None" = 4, mm_adjoint: bool = True,
+                 save_views: bool = True):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
@@ -255,6 +262,9 @@ class ClipExtractor:
         # (benchmarks/guided_cost_breakdown.json); the mm path is exact
         # to fp32 tolerance and needs no matrix gradients (RNG draws)
         self.mm_adjoint = mm_adjoint
+        # keep the named view tensors as remat residuals (see
+        # embed_image_views) so the backward never re-runs the warp
+        self.save_views = save_views
         self.cfg = {"n_aug": n_aug}
 
     def _chunk_size(self) -> int:
@@ -322,6 +332,11 @@ class ClipExtractor:
                     mm_adjoint=self.mm_adjoint,
                 )
             )(x01, kc, ka)  # [B, c, ch, cw, 3]
+            # second named residual: the finished (post-color) views, so
+            # the tower's remat re-forward starts here and the color
+            # pipeline replays from the saved 'warp_out' instead of from
+            # a re-run of the warp itself
+            views = checkpoint_name(views, "clip_views")
             flat = views.reshape((B * c,) + views.shape[2:])
             embs = self.model.apply(
                 variables, clip_normalize(flat),
@@ -334,8 +349,19 @@ class ClipExtractor:
             # tower: the color-jitter/grayscale pipeline's elementwise
             # intermediates are view-sized too, and storing them for the
             # backward pass OOMs the chip (measured: 22.8 G needed vs
-            # 15.75 G HBM at B16/4-view chunks with tower-only remat)
-            encode_chunk = jax.checkpoint(encode_chunk)
+            # 15.75 G HBM at B16/4-view chunks with tower-only remat).
+            # save_views additionally keeps the two named view tensors
+            # (~77 MB per chunk at ViT-B/32 scale) as residuals, so the
+            # backward replay skips the warp stage completely — the warp's
+            # custom VJP needs only (img, coords), both cheap to rebuild
+            policy = (
+                jax.checkpoint_policies.save_only_these_names(
+                    "warp_out", "clip_views"
+                )
+                if self.save_views
+                else None
+            )
+            encode_chunk = jax.checkpoint(encode_chunk, policy=policy)
 
         idxs = jnp.arange(n_aug)
         if n_chunks == 1:

@@ -16,11 +16,18 @@ coords (the inverse map used by the sampler).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# experiment escape hatch (read at import): SINDDM_MM_FORWARD=0 keeps the
+# matmul ADJOINT but routes the forward through the 4-tap gather, the
+# pre-round-3 behavior — used by benchmarks/guided_cost_breakdown.py to
+# compare the two forwards on real hardware
+_MM_FORWARD = os.environ.get("SINDDM_MM_FORWARD", "1") != "0"
 
 
 def bilinear_sample(
@@ -95,56 +102,99 @@ def _row_col_weights(coords: jnp.ndarray, H: int, W: int):
 def bilinear_sample_mm(
     img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
 ) -> jnp.ndarray:
-    """:func:`bilinear_sample` with a matmul-based adjoint w.r.t. ``img``.
+    """:func:`bilinear_sample` semantics with matmul forward AND adjoint.
 
-    Autodiff's adjoint of the 4-tap gather is a scatter-add, which XLA
-    lowers to a sort-based scatter — measured at 874 ms per 64-view
-    guided chunk, 84% of a guided timestep at ViT-B/32 scale
-    (``benchmarks/guided_cost_breakdown.json``). Bilinear taps factorize
-    into row/col terms, so the exact cotangent is, per channel c,
+    On TPU both directions of the 4-tap sampler are bound by
+    irregular-memory ops: forward is a 4-tap random gather (measured
+    182.5 ms per 64-view guided chunk — the matmul forward runs the whole
+    augmentation fwd incl. color ops in 106 ms), and autodiff's adjoint is
+    a scatter-add that XLA lowers to a sort-based scatter (874 ms per
+    chunk — 84% of a guided timestep at ViT-B/32 scale,
+    ``benchmarks/guided_cost_breakdown_matrix_r3.jsonl``). Bilinear taps factorize
+    into row/col terms w(yi, xj) = ryi * rxj, so with A[q, Y] / B[q, X]
+    the two-nonzero "soft one-hot" matrices over flattened output pixels
+    q (in-bounds-masked tap weights), both directions become MXU work:
 
-        ct_img[:, :, c] = (A * ct[:, c:c+1])^T @ B
+        forward:  out[q, c] = sum_X B[q, X] * (A @ img[:, :, c])[q, X]
+                              + fill * (1 - coverage[q])
+        adjoint:  ct_img[:, :, c] = (A * ct[:, c:c+1])^T @ B
 
-    where A[q, Y] / B[q, X] are two-nonzero "soft one-hot" matrices over
-    the flattened output pixels q holding the in-bounds-masked tap
-    weights — one MXU matmul per channel instead of a 17M-element
-    scatter. ``precision='highest'`` keeps it fp32-exact (each output
-    element sums only the handful of output pixels whose taps hit it).
+    one matmul per channel each way, ``precision='highest'`` (each
+    output sums only a handful of terms, so this is fp32-exact up to
+    summation order vs the gather/scatter reference — tested at 1e-5).
 
     NON-differentiable w.r.t. ``coords`` and ``fill`` (their cotangents
     are zero): use :func:`bilinear_sample` where coordinate gradients
     matter. Guidance only differentiates w.r.t. the image — the view
     homographies are RNG draws.
     """
-    return bilinear_sample(img, coords, fill=fill)
+    if not _MM_FORWARD:
+        return bilinear_sample(img, coords, fill=fill)
+    return _bilinear_forward_mm(img, coords, fill)
+
+
+def _soft_onehots(coords: jnp.ndarray, H: int, W: int):
+    """Flattened A [N, H] / B [N, W] tap-weight matrices + coverage [N]."""
+    y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1 = _row_col_weights(coords, H, W)
+
+    def flat(a):
+        return a.reshape(-1)
+
+    ys = jnp.arange(H, dtype=jnp.int32)
+    xs = jnp.arange(W, dtype=jnp.int32)
+    A = (
+        flat(ry0)[:, None] * (flat(y0c)[:, None] == ys[None, :])
+        + flat(ry1)[:, None] * (flat(y1c)[:, None] == ys[None, :])
+    )
+    B = (
+        flat(rx0)[:, None] * (flat(x0c)[:, None] == xs[None, :])
+        + flat(rx1)[:, None] * (flat(x1c)[:, None] == xs[None, :])
+    )
+    # total in-bounds tap mass; the raw weights always sum to 1, so the
+    # constant-fill contribution is fill * (1 - coverage)
+    cover = (flat(ry0) + flat(ry1)) * (flat(rx0) + flat(rx1))
+    return A, B, cover
+
+
+def _bilinear_forward_mm(img, coords, fill):
+    H, W = img.shape[0], img.shape[1]
+    C = img.shape[2]
+    A, B, cover = _soft_onehots(coords, H, W)
+    A = A.astype(img.dtype)
+    B = B.astype(img.dtype)
+
+    def one_channel(c):
+        # [N, W] row-interpolated slab (matmul), then the column taps as
+        # an elementwise product + reduce (B fuses into the reduction)
+        tmp = jnp.einsum(
+            "qy,yw->qw", A, img[:, :, c],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.einsum(
+            "qw,qw->q", tmp, B, precision=jax.lax.Precision.HIGHEST
+        )
+
+    val = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
+    out = val + (1.0 - cover)[:, None] * jnp.asarray(fill, img.dtype)
+    return out.reshape(coords.shape[:-1] + (C,))
 
 
 def _bilinear_sample_mm_fwd(img, coords, fill):
-    return bilinear_sample(img, coords, fill=fill), (img, coords)
+    out = (
+        _bilinear_forward_mm(img, coords, fill)
+        if _MM_FORWARD
+        else bilinear_sample(img, coords, fill=fill)
+    )
+    return out, (img, coords)
 
 
 def _bilinear_sample_mm_bwd(fill, res, ct):
     img, coords = res
     H, W = img.shape[0], img.shape[1]
     C = img.shape[2]
-    y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1 = _row_col_weights(coords, H, W)
-
-    def flat(a):
-        return a.reshape(-1)
-
-    y0f, y1f = flat(y0c), flat(y1c)
-    x0f, x1f = flat(x0c), flat(x1c)
-    ys = jnp.arange(H, dtype=jnp.int32)
-    xs = jnp.arange(W, dtype=jnp.int32)
-    # [N, H] / [N, W] soft one-hots (<= 2 nonzeros per row)
-    A = (
-        flat(ry0)[:, None] * (y0f[:, None] == ys[None, :])
-        + flat(ry1)[:, None] * (y1f[:, None] == ys[None, :])
-    ).astype(ct.dtype)
-    B = (
-        flat(rx0)[:, None] * (x0f[:, None] == xs[None, :])
-        + flat(rx1)[:, None] * (x1f[:, None] == xs[None, :])
-    ).astype(ct.dtype)
+    A, B, _ = _soft_onehots(coords, H, W)
+    A = A.astype(ct.dtype)
+    B = B.astype(ct.dtype)
     ct_flat = ct.reshape(-1, C)
 
     def one_channel(c):

@@ -213,9 +213,14 @@ def test_segmented_bucketed_matches_single_call(guided_setup):
     """seg_len splits the chain into several device calls threading
     (x, carry, key) through ONE executable — the stochastic process and
     PRNG stream are identical to the single-call path (init applied only
-    at segment 0), so results agree to cross-program fp tolerance
-    (measured max |diff| 5e-6: the two executables fuse differently).
-    clip_sampling_bucketed drives the threading."""
+    at segment 0), so results agree up to cross-executable fp noise
+    amplified by the quantile knife edge (see test_parallel's guided
+    test): the two executables fuse/partition differently, tiny energy
+    differences flip threshold-adjacent mask pixels, and flips propagate
+    through later steps. Measured: max |diff| 5e-6 with the gather-based
+    warp; 0.25% of pixels at <= 0.011 after the matmul warp
+    forward/adjoint (einsum reduction order diverges more across
+    executables). The bulk must still match tightly."""
     from sinddm_tpu.apps.clip_apps import clip_sampling
     from sinddm_tpu.diffusion.bucketed import jit_bucketed_scale
 
@@ -237,13 +242,13 @@ def test_segmented_bucketed_matches_single_call(guided_setup):
     # one executable serves every segment of every via scale
     assert jit_bucketed_scale._cache_size() == 1
     for a, b in zip(outs_full, outs_seg):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-4
-        )
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert np.mean(diff > 1e-4) < 0.005, "bulk of pixels must match"
+        assert diff.max() < 0.05, "knife-edge flips stay small"
     for a, b in zip(aux_full[1:], aux_seg[1:]):
         np.testing.assert_allclose(
             np.asarray(a["clip_score"]), np.asarray(b["clip_score"]),
-            atol=1e-4,
+            atol=1e-3,
         )
 
 

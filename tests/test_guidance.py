@@ -85,7 +85,8 @@ def test_mm_adjoint_matches_autodiff_scatter():
 
     v_ref, g_ref = jax.value_and_grad(lambda x: f(x, False))(img)
     v_mm, g_mm = jax.value_and_grad(lambda x: f(x, True))(img)
-    assert float(v_ref) == float(v_mm)  # identical forward
+    # forward is the same 4-tap math via matmuls (summation order only)
+    np.testing.assert_allclose(float(v_mm), float(v_ref), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(g_mm), np.asarray(g_ref), rtol=1e-5, atol=1e-5
     )
@@ -112,6 +113,13 @@ def test_mm_adjoint_raw_warp_oob_and_fill():
     np.testing.assert_allclose(
         np.asarray(g_mm), np.asarray(g_ref), rtol=1e-5, atol=1e-6
     )
+    # per-pixel forward equality (matmul forward vs gather forward),
+    # including the constant-fill region outside the image bounds
+    out_ref = warp_homography(img, m, (20, 28), fill=0.3, mm_adjoint=False)
+    out_mm = warp_homography(img, m, (20, 28), fill=0.3, mm_adjoint=True)
+    np.testing.assert_allclose(
+        np.asarray(out_mm), np.asarray(out_ref), rtol=1e-6, atol=1e-6
+    )
 
 
 def test_mm_adjoint_extractor_loss_grad_matches(tiny_extractor):
@@ -136,6 +144,35 @@ def test_mm_adjoint_extractor_loss_grad_matches(tiny_extractor):
     np.testing.assert_allclose(
         np.asarray(grads[True]), np.asarray(grads[False]),
         rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_save_views_remat_policy_grad_matches(tiny_extractor):
+    """The named-residual remat policy (save 'warp_out'/'clip_views' so the
+    backward replay skips the warp stage) is a scheduling change only —
+    loss value and gradient must match the plain full-remat path."""
+    x01 = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(19), (2, 26, 34, 3)), 0, 1
+    )
+    key = jax.random.PRNGKey(20)
+    text = jax.random.normal(
+        jax.random.PRNGKey(21), (5, tiny_extractor.model.cfg.embed_dim)
+    )
+
+    vals, grads = {}, {}
+    for sv in (False, True):
+        ex = ClipExtractor(
+            tiny_extractor.model, tiny_extractor.variables,
+            n_aug=4, view_chunk=2, save_views=sv,
+        )
+        vals[sv], grads[sv] = jax.value_and_grad(
+            lambda x: ex.calculate_clip_loss(x, text, key)
+        )(x01)
+    np.testing.assert_allclose(float(vals[True]), float(vals[False]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads[True]), np.asarray(grads[False]),
+        rtol=1e-5, atol=1e-6,
     )
 
 

@@ -147,9 +147,12 @@ def test_sharded_guided_sampling_matches_single_device(setup, quantile):
     eliminate this (any fixed threshold flips pixels whose energy lies
     within the run-to-run noise of it; a margin only moves the cut).
     Measured confirmation: even quantile=0.0, whose only threshold is the
-    per-sample argmin, flips ~1 pixel (4/74k elements, max 7.9e-3) — so
-    both cases assert measured bounds: the extreme quantile an order of
-    magnitude tighter than the interior one.
+    per-sample argmin, flips a handful of pixels — so both cases assert
+    measured bounds, the extreme quantile tighter than the interior one.
+    (Re-measured after the matmul warp forward/adjoint landed: the einsum
+    reduction order diverges slightly more between differently-partitioned
+    programs than the gather's did, moving the argmin case from 4/74k to
+    ~52/74k flipped elements; magnitudes stay tiny.)
     """
     from sinddm_tpu.apps.clip_apps import clip_sampling
     from sinddm_tpu.guidance.clip_extractor import ClipExtractor
@@ -188,7 +191,7 @@ def test_sharded_guided_sampling_matches_single_device(setup, quantile):
         a, b = np.asarray(a), np.asarray(b)
         diff = np.abs(a - b)
         if quantile == 0.0:
-            assert np.mean(diff > 2e-4) < 5e-4, "argmin flip affects ~1 pixel"
+            assert np.mean(diff > 2e-4) < 2e-3, "argmin flips stay rare"
             assert diff.max() < 0.02
         else:
             assert np.mean(diff > 1e-4) < 0.005, "bulk of pixels must match tightly"
