@@ -29,6 +29,29 @@ import jax.numpy as jnp
 # compare the two forwards on real hardware
 _MM_FORWARD = os.environ.get("SINDDM_MM_FORWARD", "1") != "0"
 
+# MXU precision for the soft-one-hot matmuls. "highest" is fp32-exact
+# and the parity-preserving default. "high" cuts warp f+b 170->123 ms
+# per 64-view guided chunk BUT on this TPU backend it measures like a
+# single-pass bf16 product: max |grad diff| vs the gather path ~5% of
+# max |grad| (benchmarks/warp_variants_r3.jsonl) — a quality knob in the
+# same class as the bf16 CLIP tower, not a free win. Module-level so
+# experiment harnesses can flip it before tracing
+# (benchmarks/warp_variants_bench.py).
+_MM_PRECISION = os.environ.get("SINDDM_MM_PRECISION", "highest")
+
+# fold the per-channel matmuls into one W*C-wide (fwd) / H-tall (bwd)
+# matmul: fewer, larger MXU dispatches but ~3x the peak operand memory
+# (the folded [N, W*C] intermediate must materialize as a dot operand).
+_MM_FOLD = os.environ.get("SINDDM_MM_FOLD", "0") != "0"
+
+
+def _precision():
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[_MM_PRECISION]
+
 
 def bilinear_sample(
     img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
@@ -64,38 +87,6 @@ def bilinear_sample(
         + tap(x1, y1) * (wx1 * wy1)[..., None]
     )
     return out
-
-
-def _row_col_weights(coords: jnp.ndarray, H: int, W: int):
-    """Per-sample clipped tap indices and in-bounds-masked tap weights.
-
-    Returns (y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1), each [...]-shaped,
-    reproducing exactly the tap/boundary convention of
-    :func:`bilinear_sample`: taps at (floor, floor+1) per axis, weights
-    zeroed (not renormalized) for out-of-range taps, indices clipped.
-    The 2-D tap weight factorizes: w(yi, xj) = ryi * rxj.
-    """
-    x, y = coords[..., 0], coords[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    x1, y1 = x0 + 1, y0 + 1
-    wx1 = x - x0
-    wy1 = y - y0
-    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-    iny0 = (y0 >= 0) & (y0 <= H - 1)
-    iny1 = (y1 >= 0) & (y1 <= H - 1)
-    inx0 = (x0 >= 0) & (x0 <= W - 1)
-    inx1 = (x1 >= 0) & (x1 <= W - 1)
-    return (
-        jnp.clip(y0, 0, H - 1).astype(jnp.int32),
-        jnp.clip(y1, 0, H - 1).astype(jnp.int32),
-        jnp.clip(x0, 0, W - 1).astype(jnp.int32),
-        jnp.clip(x1, 0, W - 1).astype(jnp.int32),
-        jnp.where(iny0, wy0, 0.0),
-        jnp.where(iny1, wy1, 0.0),
-        jnp.where(inx0, wx0, 0.0),
-        jnp.where(inx1, wx1, 0.0),
-    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -134,25 +125,25 @@ def bilinear_sample_mm(
 
 
 def _soft_onehots(coords: jnp.ndarray, H: int, W: int):
-    """Flattened A [N, H] / B [N, W] tap-weight matrices + coverage [N]."""
-    y0c, y1c, x0c, x1c, ry0, ry1, rx0, rx1 = _row_col_weights(coords, H, W)
+    """Flattened A [N, H] / B [N, W] tap-weight matrices + coverage [N].
 
-    def flat(a):
-        return a.reshape(-1)
-
-    ys = jnp.arange(H, dtype=jnp.int32)
-    xs = jnp.arange(W, dtype=jnp.int32)
-    A = (
-        flat(ry0)[:, None] * (flat(y0c)[:, None] == ys[None, :])
-        + flat(ry1)[:, None] * (flat(y1c)[:, None] == ys[None, :])
-    )
-    B = (
-        flat(rx0)[:, None] * (flat(x0c)[:, None] == xs[None, :])
-        + flat(rx1)[:, None] * (flat(x1c)[:, None] == xs[None, :])
-    )
+    Built as hat functions: A[q, y] = relu(1 - |y_coord[q] - y|). For any
+    in-range tap row this is exactly the bilinear tap weight of
+    :func:`bilinear_sample` (at y = floor(yc): 1 - (yc - y) = wy0; at
+    y = floor(yc)+1: wy1), and out-of-range taps contribute nothing
+    because their row simply does not exist — the same zero-not-
+    renormalize boundary convention as the gather path. 4 elementwise ops
+    per matrix vs the floor/compare/clip/mask build (~7 + int casts).
+    """
+    x = coords[..., 0].reshape(-1)
+    y = coords[..., 1].reshape(-1)
+    ys = jnp.arange(H, dtype=coords.dtype)
+    xs = jnp.arange(W, dtype=coords.dtype)
+    A = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - ys[None, :]))
+    B = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xs[None, :]))
     # total in-bounds tap mass; the raw weights always sum to 1, so the
     # constant-fill contribution is fill * (1 - coverage)
-    cover = (flat(ry0) + flat(ry1)) * (flat(rx0) + flat(rx1))
+    cover = jnp.sum(A, axis=-1) * jnp.sum(B, axis=-1)
     return A, B, cover
 
 
@@ -162,19 +153,23 @@ def _bilinear_forward_mm(img, coords, fill):
     A, B, cover = _soft_onehots(coords, H, W)
     A = A.astype(img.dtype)
     B = B.astype(img.dtype)
+    prec = _precision()
 
-    def one_channel(c):
-        # [N, W] row-interpolated slab (matmul), then the column taps as
-        # an elementwise product + reduce (B fuses into the reduction)
-        tmp = jnp.einsum(
-            "qy,yw->qw", A, img[:, :, c],
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return jnp.einsum(
-            "qw,qw->q", tmp, B, precision=jax.lax.Precision.HIGHEST
-        )
+    if _MM_FOLD:
+        # one [N, H] x [H, W*C] matmul, then the column taps as an
+        # elementwise product + reduce over W
+        tmp = jnp.einsum("qy,ywc->qwc", A, img, precision=prec)
+        val = jnp.einsum("qwc,qw->qc", tmp, B, precision=prec)
+    else:
 
-    val = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
+        def one_channel(c):
+            # [N, W] row-interpolated slab (matmul), then the column taps
+            # as an elementwise product + reduce (B fuses into the
+            # reduction)
+            tmp = jnp.einsum("qy,yw->qw", A, img[:, :, c], precision=prec)
+            return jnp.einsum("qw,qw->q", tmp, B, precision=prec)
+
+        val = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
     out = val + (1.0 - cover)[:, None] * jnp.asarray(fill, img.dtype)
     return out.reshape(coords.shape[:-1] + (C,))
 
@@ -196,16 +191,22 @@ def _bilinear_sample_mm_bwd(fill, res, ct):
     A = A.astype(ct.dtype)
     B = B.astype(ct.dtype)
     ct_flat = ct.reshape(-1, C)
+    prec = _precision()
 
-    def one_channel(c):
-        return jnp.einsum(
-            "qy,qx->yx", A * ct_flat[:, c][:, None], B,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    if _MM_FOLD:
+        # one [H, N] x [N, W*C] matmul over the ct-folded column factors
+        M = B[:, :, None] * ct_flat[:, None, :]  # [N, W, C]
+        ct_img = jnp.einsum("qy,qwc->ywc", A, M, precision=prec)
+    else:
 
-    # channel count is tiny and static; a python loop keeps peak memory at
-    # one [N, H] folded operand per channel
-    ct_img = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
+        def one_channel(c):
+            return jnp.einsum(
+                "qy,qx->yx", A * ct_flat[:, c][:, None], B, precision=prec
+            )
+
+        # channel count is tiny and static; a python loop keeps peak
+        # memory at one [N, H] folded operand per channel
+        ct_img = jnp.stack([one_channel(c) for c in range(C)], axis=-1)
     return ct_img.astype(img.dtype), jnp.zeros_like(coords)
 
 

@@ -85,8 +85,11 @@ def test_mm_adjoint_matches_autodiff_scatter():
 
     v_ref, g_ref = jax.value_and_grad(lambda x: f(x, False))(img)
     v_mm, g_mm = jax.value_and_grad(lambda x: f(x, True))(img)
-    # forward is the same 4-tap math via matmuls (summation order only)
-    np.testing.assert_allclose(float(v_mm), float(v_ref), rtol=1e-6)
+    # forward is the same 4-tap math via matmuls; the hat-function tap
+    # weights (ops/warp._soft_onehots) differ from the gather path's
+    # floor/frac weights by at most 1 ulp (1-(r-y) vs y-floor(y)), so the
+    # ~66k-term sum agrees to ~1e-6 relative, not bitwise
+    np.testing.assert_allclose(float(v_mm), float(v_ref), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(g_mm), np.asarray(g_ref), rtol=1e-5, atol=1e-5
     )
