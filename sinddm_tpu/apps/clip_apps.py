@@ -402,7 +402,10 @@ def run_clip_mode(
             else args.clip_dtype
         ),
     )
-    extractor = ClipExtractor(clip_model, clip_vars, n_aug=16)
+    extractor = ClipExtractor(
+        clip_model, clip_vars, n_aug=16,
+        warp_precision=getattr(args, "warp_precision", None),
+    )
     n = pyramid.n_scales
     params = trainer.state.ema_params
     out_dir = Path(results_folder) / "final_samples"

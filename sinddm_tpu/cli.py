@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CLIP vision-tower compute dtype (bfloat16 = "
                         "MXU-rate guidance, the analog of the reference's "
                         "fp16 CLIP)")
+    p.add_argument("--warp_precision", default="highest",
+                   choices=["highest", "high"],
+                   help="MXU precision of the guidance view-warp matmuls: "
+                        "'highest' is fp32-exact vs the gather path; "
+                        "'high' is ~28%% faster per warp but bf16-rate "
+                        "(guidance-direction impact measured in "
+                        "benchmarks/warp_high_guidance_eval.py)")
     p.add_argument("--bucketed_guidance", action="store_true",
                    help="run all guided via scales through ONE compiled "
                         "graph on the finest-scale canvas (clip_content "

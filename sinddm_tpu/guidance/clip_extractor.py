@@ -159,6 +159,7 @@ def augment_views_subset(
     valid_hw=None,
     frame_hw: "Tuple[int, int] | None" = None,
     mm_adjoint: bool = False,
+    warp_precision: "str | None" = None,
 ) -> jnp.ndarray:
     """Build the views named by ``idxs`` for one image: [len(idxs), ch, cw, 3].
 
@@ -194,7 +195,8 @@ def augment_views_subset(
         m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
         m_total = m_crop @ m_augs
         view = W.warp_homography(
-            img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint
+            img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint,
+            precision=warp_precision,
         )
         # named so ClipExtractor's remat policy can keep the warp output
         # as a residual: the warp is the costly stage (gather or matmul),
@@ -214,6 +216,7 @@ def augment_views(
     valid_hw=None,
     frame_hw: "Tuple[int, int] | None" = None,
     mm_adjoint: bool = False,
+    warp_precision: "str | None" = None,
 ) -> jnp.ndarray:
     """One image [H, W, 3] in [0,1] -> [n_aug, ch, cw, 3] augmented views.
 
@@ -231,7 +234,7 @@ def augment_views(
     return augment_views_subset(
         keys[:n_aug], keys[n_aug:], jnp.arange(n_aug), img,
         fill=fill, valid_hw=valid_hw, frame_hw=frame_hw,
-        mm_adjoint=mm_adjoint,
+        mm_adjoint=mm_adjoint, warp_precision=warp_precision,
     )
 
 
@@ -241,7 +244,8 @@ class ClipExtractor:
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
                  affine_fill: float = 1.0, remat: bool = True,
                  view_chunk: "int | None" = 4, mm_adjoint: bool = True,
-                 save_views: bool = True):
+                 save_views: bool = True,
+                 warp_precision: "str | None" = None):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
@@ -265,6 +269,10 @@ class ClipExtractor:
         # keep the named view tensors as remat residuals (see
         # embed_image_views) so the backward never re-runs the warp
         self.save_views = save_views
+        # MXU precision of the warp matmuls: None = fp32-exact default;
+        # "high" trades ~5% max guidance-gradient error for ~28% faster
+        # warps (measured: benchmarks/warp_high_guidance_eval.py)
+        self.warp_precision = warp_precision
         self.cfg = {"n_aug": n_aug}
 
     def _chunk_size(self) -> int:
@@ -330,6 +338,7 @@ class ClipExtractor:
                     kcb, kab, idc, img, self.affine_fill,
                     valid_hw=valid_hw, frame_hw=frame_hw,
                     mm_adjoint=self.mm_adjoint,
+                    warp_precision=self.warp_precision,
                 )
             )(x01, kc, ka)  # [B, c, ch, cw, 3]
             # second named residual: the finished (post-color) views, so

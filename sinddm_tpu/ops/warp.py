@@ -45,12 +45,12 @@ _MM_PRECISION = os.environ.get("SINDDM_MM_PRECISION", "highest")
 _MM_FOLD = os.environ.get("SINDDM_MM_FOLD", "0") != "0"
 
 
-def _precision():
+def _precision(name: "str | None" = None):
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[_MM_PRECISION]
+    }[name or _MM_PRECISION]
 
 
 def bilinear_sample(
@@ -89,9 +89,12 @@ def bilinear_sample(
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def bilinear_sample_mm(
-    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    fill: float = 0.0,
+    precision: "str | None" = None,
 ) -> jnp.ndarray:
     """:func:`bilinear_sample` semantics with matmul forward AND adjoint.
 
@@ -121,7 +124,7 @@ def bilinear_sample_mm(
     """
     if not _MM_FORWARD:
         return bilinear_sample(img, coords, fill=fill)
-    return _bilinear_forward_mm(img, coords, fill)
+    return _bilinear_forward_mm(img, coords, fill, precision)
 
 
 def _soft_onehots(coords: jnp.ndarray, H: int, W: int):
@@ -147,13 +150,13 @@ def _soft_onehots(coords: jnp.ndarray, H: int, W: int):
     return A, B, cover
 
 
-def _bilinear_forward_mm(img, coords, fill):
+def _bilinear_forward_mm(img, coords, fill, precision=None):
     H, W = img.shape[0], img.shape[1]
     C = img.shape[2]
     A, B, cover = _soft_onehots(coords, H, W)
     A = A.astype(img.dtype)
     B = B.astype(img.dtype)
-    prec = _precision()
+    prec = _precision(precision)
 
     if _MM_FOLD:
         # one [N, H] x [H, W*C] matmul, then the column taps as an
@@ -174,16 +177,16 @@ def _bilinear_forward_mm(img, coords, fill):
     return out.reshape(coords.shape[:-1] + (C,))
 
 
-def _bilinear_sample_mm_fwd(img, coords, fill):
+def _bilinear_sample_mm_fwd(img, coords, fill, precision):
     out = (
-        _bilinear_forward_mm(img, coords, fill)
+        _bilinear_forward_mm(img, coords, fill, precision)
         if _MM_FORWARD
         else bilinear_sample(img, coords, fill=fill)
     )
     return out, (img, coords)
 
 
-def _bilinear_sample_mm_bwd(fill, res, ct):
+def _bilinear_sample_mm_bwd(fill, precision, res, ct):
     img, coords = res
     H, W = img.shape[0], img.shape[1]
     C = img.shape[2]
@@ -191,7 +194,7 @@ def _bilinear_sample_mm_bwd(fill, res, ct):
     A = A.astype(ct.dtype)
     B = B.astype(ct.dtype)
     ct_flat = ct.reshape(-1, C)
-    prec = _precision()
+    prec = _precision(precision)
 
     if _MM_FOLD:
         # one [H, N] x [N, W*C] matmul over the ct-folded column factors
@@ -219,12 +222,14 @@ def warp_homography(
     out_hw: Tuple[int, int],
     fill: float = 0.0,
     mm_adjoint: bool = False,
+    precision: "str | None" = None,
 ) -> jnp.ndarray:
     """Warp img [H, W, C] by the out->in homography; output [h, w, C].
 
     ``mm_adjoint=True`` routes through :func:`bilinear_sample_mm` (matmul
     image-adjoint, no gradient to ``matrix``) — the fast path for
-    guidance, which differentiates w.r.t. the image only.
+    guidance, which differentiates w.r.t. the image only. ``precision``
+    sets the MXU precision of that path (None = module default).
     """
     h, w = out_hw
     ys, xs = jnp.meshgrid(
@@ -238,8 +243,9 @@ def warp_homography(
     src = src[..., :2] / jnp.maximum(jnp.abs(src[..., 2:3]), 1e-8) * jnp.sign(
         src[..., 2:3]
     )
-    sampler = bilinear_sample_mm if mm_adjoint else bilinear_sample
-    return sampler(img, src, fill=fill)
+    if mm_adjoint:
+        return bilinear_sample_mm(img, src, fill, precision)
+    return bilinear_sample(img, src, fill=fill)
 
 
 # ---------------------------------------------------------------------------
