@@ -47,6 +47,8 @@ def main() -> None:
                     help="also run the fold variants at the full batch "
                          "(OOM risk: ~13 GB folded dot operand)")
     ap.add_argument("--force_cpu", action="store_true")
+    ap.add_argument("--pallas_only", action="store_true",
+                    help="run only the HIGHEST anchor + the pallas arm")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +141,42 @@ def main() -> None:
         print(f"parity fold={fold} {precision}: max|dg|={d:.3e} "
               f"(max|g|={scale:.3e})", file=_sys.stderr)
 
+    def run_pallas(B, label):
+        """The fused VMEM kernel (ops/pallas_warp.py) at the same load."""
+        Wmod._MM_FOLD = False
+        Wmod._MM_PRECISION = "highest"
+        Wmod._WARP_IMPL = "pallas"
+        try:
+            fn, x01 = make_warp_fb(B, mm=True)
+            ms = timeit(fn, x01)
+            rec = dict(base, impl="pallas", batch=B, views=B * c,
+                       warp_fb_ms=round(ms, 1), label=label)
+            print(json.dumps(rec))
+            _sys.stdout.flush()
+            print(f"{label}: {ms:.1f} ms", file=_sys.stderr)
+            # parity vs the gather/scatter autodiff path on device
+            fn_p, x2 = make_warp_fb(2, mm=True)
+            g_p = np.asarray(fn_p(x2))
+            Wmod._WARP_IMPL = ""
+            fn_ref, _ = make_warp_fb(2, mm=False)
+            g_ref = np.asarray(fn_ref(x2))
+            d = float(np.max(np.abs(g_p - g_ref)))
+            scale = float(np.max(np.abs(g_ref)))
+            print(json.dumps(dict(base, metric="warp_variant_parity",
+                                  impl="pallas", max_abs_grad_diff=d,
+                                  max_abs_grad=scale)))
+            _sys.stdout.flush()
+            print(f"parity pallas: max|dg|={d:.3e} (max|g|={scale:.3e})",
+                  file=_sys.stderr)
+        finally:
+            Wmod._WARP_IMPL = ""
+
     Bs, Bf = args.small_batch, args.batch
+
+    if args.pallas_only:
+        run(False, "highest", Bf, "perchan-highest-full")  # anchor
+        run_pallas(Bf, "pallas-full")
+        return
 
     # baseline per-channel HIGHEST at both loads (anchors vs prior runs)
     run(False, "highest", Bf, "perchan-highest-full")
@@ -150,6 +187,7 @@ def main() -> None:
     run(True, "high", Bs, "fold-high-small")
     if args.big_fold:
         run(True, "high", Bf, "fold-high-full")
+    run_pallas(Bf, "pallas-full")
 
     parity(False, "highest")
     parity(False, "high")

@@ -160,6 +160,7 @@ def augment_views_subset(
     frame_hw: "Tuple[int, int] | None" = None,
     mm_adjoint: bool = False,
     warp_precision: "str | None" = None,
+    warp_impl: "str | None" = None,
 ) -> jnp.ndarray:
     """Build the views named by ``idxs`` for one image: [len(idxs), ch, cw, 3].
 
@@ -196,7 +197,7 @@ def augment_views_subset(
         m_total = m_crop @ m_augs
         view = W.warp_homography(
             img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint,
-            precision=warp_precision,
+            precision=warp_precision, impl=warp_impl,
         )
         # named so ClipExtractor's remat policy can keep the warp output
         # as a residual: the warp is the costly stage (gather or matmul),
@@ -217,6 +218,7 @@ def augment_views(
     frame_hw: "Tuple[int, int] | None" = None,
     mm_adjoint: bool = False,
     warp_precision: "str | None" = None,
+    warp_impl: "str | None" = None,
 ) -> jnp.ndarray:
     """One image [H, W, 3] in [0,1] -> [n_aug, ch, cw, 3] augmented views.
 
@@ -235,6 +237,7 @@ def augment_views(
         keys[:n_aug], keys[n_aug:], jnp.arange(n_aug), img,
         fill=fill, valid_hw=valid_hw, frame_hw=frame_hw,
         mm_adjoint=mm_adjoint, warp_precision=warp_precision,
+        warp_impl=warp_impl,
     )
 
 
@@ -245,7 +248,8 @@ class ClipExtractor:
                  affine_fill: float = 1.0, remat: bool = True,
                  view_chunk: "int | None" = 4, mm_adjoint: bool = True,
                  save_views: bool = True,
-                 warp_precision: "str | None" = None):
+                 warp_precision: "str | None" = None,
+                 warp_impl: "str | None" = None):
         self.model = model
         self.variables = variables
         self.n_aug = n_aug
@@ -273,6 +277,7 @@ class ClipExtractor:
         # "high" trades ~5% max guidance-gradient error for ~28% faster
         # warps (measured: benchmarks/warp_high_guidance_eval.py)
         self.warp_precision = warp_precision
+        self.warp_impl = warp_impl
         self.cfg = {"n_aug": n_aug}
 
     def _chunk_size(self) -> int:
@@ -339,6 +344,7 @@ class ClipExtractor:
                     valid_hw=valid_hw, frame_hw=frame_hw,
                     mm_adjoint=self.mm_adjoint,
                     warp_precision=self.warp_precision,
+                    warp_impl=self.warp_impl,
                 )
             )(x01, kc, ka)  # [B, c, ch, cw, 3]
             # second named residual: the finished (post-color) views, so

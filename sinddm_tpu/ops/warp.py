@@ -44,6 +44,11 @@ _MM_PRECISION = os.environ.get("SINDDM_MM_PRECISION", "highest")
 # (the folded [N, W*C] intermediate must materialize as a dot operand).
 _MM_FOLD = os.environ.get("SINDDM_MM_FOLD", "0") != "0"
 
+# default warp implementation for guidance ('': the XLA matmul path;
+# 'pallas': the fused VMEM kernel in ops/pallas_warp.py). Module-level so
+# benchmarks can flip it between traces, env for CLI-level experiments.
+_WARP_IMPL = os.environ.get("SINDDM_WARP_IMPL", "")
+
 
 def _precision(name: "str | None" = None):
     return {
@@ -223,6 +228,7 @@ def warp_homography(
     fill: float = 0.0,
     mm_adjoint: bool = False,
     precision: "str | None" = None,
+    impl: "str | None" = None,
 ) -> jnp.ndarray:
     """Warp img [H, W, C] by the out->in homography; output [h, w, C].
 
@@ -230,6 +236,9 @@ def warp_homography(
     image-adjoint, no gradient to ``matrix``) — the fast path for
     guidance, which differentiates w.r.t. the image only. ``precision``
     sets the MXU precision of that path (None = module default).
+    ``impl='pallas'`` routes both directions through the fused VMEM
+    kernel (``ops/pallas_warp.py``; also no gradient to ``matrix``);
+    None falls back to the module default (``SINDDM_WARP_IMPL``).
     """
     h, w = out_hw
     ys, xs = jnp.meshgrid(
@@ -243,6 +252,16 @@ def warp_homography(
     src = src[..., :2] / jnp.maximum(jnp.abs(src[..., 2:3]), 1e-8) * jnp.sign(
         src[..., 2:3]
     )
+    impl = impl if impl is not None else (_WARP_IMPL or None)
+    if impl == "pallas":
+        import jax
+
+        from sinddm_tpu.ops.pallas_warp import bilinear_sample_pallas
+
+        # interpret mode on CPU so the same code path is testable there
+        return bilinear_sample_pallas(
+            img, src, fill, jax.default_backend() == "cpu"
+        )
     if mm_adjoint:
         return bilinear_sample_mm(img, src, fill, precision)
     return bilinear_sample(img, src, fill=fill)
