@@ -56,9 +56,10 @@ def _fwd_kernel(xs_ref, ys_ref, img_ref, out_ref, cover_ref, *, H, W, C):
     # coords tile [TQ]; out-of-range / padded coords make all-zero hat rows
     x = xs_ref[0, :]
     y = ys_ref[0, :]
-    yi = jax.lax.broadcasted_iota(jnp.float32, (_TQ, H), 1)
+    # Mosaic's tpu.iota is integer-only; build int32 and cast
+    yi = jax.lax.broadcasted_iota(jnp.int32, (_TQ, H), 1).astype(jnp.float32)
     A = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yi))  # [TQ, H]
-    xi = jax.lax.broadcasted_iota(jnp.float32, (_TQ, W), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (_TQ, W), 1).astype(jnp.float32)
     B = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xi))  # [TQ, W]
     cover_ref[0, :] = jnp.sum(A, axis=-1) * jnp.sum(B, axis=-1)
     for c in range(C):
@@ -78,9 +79,9 @@ def _bwd_kernel(xs_ref, ys_ref, ct_ref, gimg_ref, *, H, W, C):
 
     x = xs_ref[0, :]
     y = ys_ref[0, :]
-    yi = jax.lax.broadcasted_iota(jnp.float32, (_TQ, H), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (_TQ, H), 1).astype(jnp.float32)
     A = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yi))
-    xi = jax.lax.broadcasted_iota(jnp.float32, (_TQ, W), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (_TQ, W), 1).astype(jnp.float32)
     B = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xi))
     for c in range(C):
         ct_c = ct_ref[0, c, :]  # [TQ]
