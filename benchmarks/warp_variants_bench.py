@@ -145,6 +145,7 @@ def main() -> None:
         """The fused VMEM kernel (ops/pallas_warp.py) at the same load."""
         Wmod._MM_FOLD = False
         Wmod._MM_PRECISION = "highest"
+        prev_impl = Wmod._WARP_IMPL
         Wmod._WARP_IMPL = "pallas"
         try:
             fn, x01 = make_warp_fb(B, mm=True)
@@ -169,7 +170,7 @@ def main() -> None:
             print(f"parity pallas: max|dg|={d:.3e} (max|g|={scale:.3e})",
                   file=_sys.stderr)
         finally:
-            Wmod._WARP_IMPL = ""
+            Wmod._WARP_IMPL = prev_impl
 
     Bs, Bf = args.small_batch, args.batch
 

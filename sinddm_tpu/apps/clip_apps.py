@@ -59,21 +59,29 @@ def clip_sampling(
     start_noise: bool = True,
     reblurring: bool = False,
     omega: float = 0.0,
+    sample_limited_t: bool = False,
     sharding=None,
     precompile: bool = False,
     bucketed: bool = False,
     seg_len: Optional[int] = None,
+    collect_interm: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
     """Returns (per-scale outputs, per-scale aux with clip scores).
 
     ``bucketed=True`` routes the via scales through the shape-bucketed
-    sampler (``diffusion/bucketed.py``): ONE compiled graph serves every
-    guided scale (vs one compile per scale), at the cost of running each
-    scale's compute on the finest-scale canvas. Only the start-from-noise
-    modes use it (clip_style_trans's injection path keeps per-scale
-    graphs); requires uniform ``guidance_sub_iters`` over the via scales.
-    ``seg_len`` (bucketed only) bounds each device call to that many scan
-    steps — see :func:`clip_sampling_bucketed`.
+    sampler (``diffusion/bucketed.py``): one compiled graph serves every
+    guided scale with the same sub_iters (vs one compile per scale), at
+    the cost of running each scale's compute on the finest-scale canvas.
+    All four CLIP modes are supported, including clip_style_trans's
+    injection start and mesh sharding. ``seg_len`` (bucketed only) bounds
+    each device call to that many scan steps — see
+    :func:`clip_sampling_bucketed`.
+
+    ``sample_limited_t`` stops each scale's chain at
+    ``num_timesteps_ideal[s+1]`` (reference models.py:476-479 applies it
+    inside every p_sample_loop regardless of mode). ``collect_interm``
+    stacks per-step frames into each scale's aux under ``"interm"`` (the
+    reference's ``save_interm``, models.py:360-366,511-526).
     """
     n = pyramid.n_scales
     if guidance_sub_iters is None:
@@ -108,19 +116,6 @@ def clip_sampling(
         return resize_guidance_carry(carry, size_hw, drop_mask=(s == 0))
 
     aux: List[Any] = []
-    if bucketed and not (
-        start_noise
-        and sharding is None
-        and len({int(v) for v in guidance_sub_iters[1:]}) == 1
-    ):
-        import warnings
-
-        warnings.warn(
-            "bucketed guidance needs start-from-noise, no mesh sharding, and "
-            "uniform via-scale sub_iters (clip_content); falling back to "
-            "per-scale graphs"
-        )
-        bucketed = False
     if bucketed:
         return clip_sampling_bucketed(
             model, params, sched, pyramid, extractor, key,
@@ -129,6 +124,8 @@ def clip_sampling(
             custom_t_list=custom_t_list, guidance_sub_iters=guidance_sub_iters,
             quantile=quantile, stop_guidance=stop_guidance, scale_mul=scale_mul,
             llambda=llambda, reblurring=reblurring, omega=omega,
+            start_noise=start_noise, sample_limited_t=sample_limited_t,
+            sharding=sharding, collect_interm=collect_interm,
             seg_len=seg_len,
         )
     if not start_noise:  # clip_style_trans: inject the training image
@@ -141,10 +138,12 @@ def clip_sampling(
             custom_image_size_idxs=custom_scales, custom_sample=True,
             start_noise=False, start_image=pyramid.images[n - 2],
             reblurring=reblurring, omega=omega,
+            sample_limited_t=sample_limited_t,
             guidance_factory=guidance_factory,
             guidance_params=extractor.variables,
             carry_transform=carry_transform,
-            collect_aux=aux, sharding=sharding, precompile=precompile,
+            collect_aux=aux, collect_interm=collect_interm,
+            sharding=sharding, precompile=precompile,
         )
     else:
         outputs = sample_scales(
@@ -153,10 +152,12 @@ def clip_sampling(
             batch_size=sample_batch_size, scale_mul=scale_mul,
             custom_t_list=custom_t_list, custom_sample=False,
             reblurring=reblurring, omega=omega,
+            sample_limited_t=sample_limited_t,
             guidance_factory=guidance_factory,
             guidance_params=extractor.variables,
             carry_transform=carry_transform,
-            collect_aux=aux, sharding=sharding, precompile=precompile,
+            collect_aux=aux, collect_interm=collect_interm,
+            sharding=sharding, precompile=precompile,
         )
     return outputs, aux
 
@@ -181,16 +182,28 @@ def clip_sampling_bucketed(
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     reblurring: bool = False,
     omega: float = 0.0,
+    start_noise: bool = True,
+    sample_limited_t: bool = False,
+    sharding=None,
+    collect_interm: bool = False,
     seg_len: Optional[int] = None,
 ) -> Tuple[List[jnp.ndarray], List[Any]]:
-    """Start-from-noise guided pyramid on the shape-bucketed sampler.
+    """Guided pyramid on the shape-bucketed sampler.
 
     Scale 0 runs its own (small) graph as usual; every via scale runs
-    through ONE ``jit_bucketed_scale`` executable on the finest-scale
-    canvas (see ``diffusion/bucketed.py``). Requires uniform
-    ``guidance_sub_iters`` over scales 1..n-1 (clip_content's [0,1,1,...]
-    pattern; the style modes guide only the finest scale and gain nothing
-    from bucketing).
+    through a ``jit_bucketed_scale`` executable on the finest-scale
+    canvas (see ``diffusion/bucketed.py``) — one executable per distinct
+    ``guidance_sub_iters`` value among the via scales (clip_content's
+    uniform [0,1,1,...] compiles once; the style modes' [0,...,0,1]
+    compile one unguided + one guided graph).
+
+    ``start_noise=False`` is clip_style_trans's injection start
+    (reference trainer.py:384-399): the training image at scale n-2 is
+    placed on the canvas and only the finest scale is denoised.
+    ``sharding`` (NamedSharding) shards the canvas batch over a mesh.
+    ``sample_limited_t`` stops each scale's chain at
+    ``num_timesteps_ideal[s+1]`` (models.py:476-479). ``collect_interm``
+    records per-step frames into each scale's aux under ``"interm"``.
 
     ``seg_len`` splits each scale's reverse chain into device calls of at
     most ``seg_len`` scan steps, all sharing ONE executable (the step
@@ -204,17 +217,12 @@ def clip_sampling_bucketed(
         place_on_canvas,
     )
     from sinddm_tpu.guidance.clip_extractor import resize_output_size
+    from sinddm_tpu.parallel.mesh import require_named_sharding
 
+    sharding = require_named_sharding(sharding)
     n = pyramid.n_scales
     if custom_t_list is None:
         custom_t_list = list(sched.num_timesteps_ideal[1:])
-    via_iters = {int(v) for v in guidance_sub_iters[1:]}
-    if len(via_iters) != 1:
-        raise ValueError(
-            "bucketed guided sampling needs uniform guidance_sub_iters "
-            f"over the via scales, got {list(guidance_sub_iters)}"
-        )
-    sub_iters = via_iters.pop()
     # per-scale target sizes incl. scale_mul (reference trainer.py:249-252)
     sizes = [
         (int(h * scale_mul[0]), int(w * scale_mul[1]))
@@ -224,82 +232,129 @@ def clip_sampling_bucketed(
     frame_hw = resize_output_size(canvas[0], canvas[1])
     max_t = int(max(custom_t_list))
 
-    # ---- scale 0: existing per-scale machinery (cheap graph) ------------
-    h0, w0 = sizes[0]
-    key, k0 = jax.random.split(key)
-    gfn0 = None
-    if int(guidance_sub_iters[0]) > 0:
-        gfn0 = make_clip_guidance(
-            extractor, embeds_lr, s=0, n_scales=n,
-            sub_iters=int(guidance_sub_iters[0]), strength=strength,
-            quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(sharding.mesh, PartitionSpec())
+        params = jax.device_put(params, replicated)
+        extractor_vars = jax.device_put(extractor.variables, replicated)
+    else:
+        extractor_vars = extractor.variables
+
+    outputs: List[jnp.ndarray]
+    aux: List[Any]
+    if start_noise:
+        # ---- scale 0: existing per-scale machinery (cheap graph) --------
+        h0, w0 = sizes[0]
+        t_min0 = int(sched.num_timesteps_ideal[1]) if sample_limited_t else 0
+        key, k0 = jax.random.split(key)
+        gfn0 = None
+        if int(guidance_sub_iters[0]) > 0:
+            gfn0 = make_clip_guidance(
+                extractor, embeds_lr, s=0, n_scales=n,
+                sub_iters=int(guidance_sub_iters[0]), strength=strength,
+                quantile=quantile, llambda=llambda,
+                stop_guidance=stop_guidance,
+            )
+        x0, carry0, aux0 = jit_sample_scale0(
+            model, params, sched, k0, (sample_batch_size, h0, w0, 3), 0,
+            t_min0, omega, guidance_fn=gfn0,
+            guidance_carry=(
+                init_clip_carry(sample_batch_size, (h0, w0)) if gfn0 else None
+            ),
+            guidance_params=(extractor_vars if gfn0 else None),
+            sharding=sharding, collect_interm=collect_interm,
         )
-    x0, carry0, aux0 = jit_sample_scale0(
-        model, params, sched, k0, (sample_batch_size, h0, w0, 3), 0, 0,
-        omega, guidance_fn=gfn0,
-        guidance_carry=(
-            init_clip_carry(sample_batch_size, (h0, w0)) if gfn0 else None
-        ),
-        guidance_params=(extractor.variables if gfn0 else None),
-    )
-    outputs = [x0]
-    aux: List[Any] = [aux0]
+        outputs = [x0]
+        aux = [aux0]
+        prev_canvas = place_on_canvas(x0, canvas)
+        prev_valid = jnp.asarray([h0, w0], jnp.int32)
+        via_scales = list(range(1, n))
+    else:
+        # clip_style_trans: inject the training image at scale n-2
+        # (reference trainer.py:384-399); only the finest scale denoises
+        start_img = jnp.broadcast_to(
+            jnp.asarray(pyramid.images[n - 2], jnp.float32)[None],
+            (sample_batch_size,) + pyramid.images[n - 2].shape,
+        )
+        outputs = [start_img]
+        aux = [None]
+        prev_canvas = place_on_canvas(start_img, canvas)
+        prev_valid = jnp.asarray(start_img.shape[1:3], jnp.int32)
+        via_scales = [n - 1]
     del pyramid  # all sizes below come from the scale_mul-adjusted list
 
     # mask created at scale 0 is dropped (reference models.py:533-534);
     # the bucketed carry always lives on the canvas
     carry = init_clip_carry(sample_batch_size, canvas)
-    prev_canvas = place_on_canvas(x0, canvas)
-    prev_valid = jnp.asarray([h0, w0], jnp.int32)
+    if sharding is not None:
+        prev_canvas = jax.device_put(prev_canvas, sharding)
 
     if seg_len is not None and seg_len >= max_t:
         seg_len = None
     n_segs = 1 if seg_len is None else -(-max_t // seg_len)
 
-    for s in range(1, n):
+    for s in via_scales:
         hs, ws = sizes[s]
+        sub_iters = int(guidance_sub_iters[s])
         cur_valid = jnp.asarray([hs, ws], jnp.int32)
+        t_min_s = (
+            int(sched.num_timesteps_ideal[s + 1])
+            if (sample_limited_t and s < n - 1)
+            else 0
+        )
+        total_t = int(custom_t_list[s - 1])
         key, sub = jax.random.split(key)
         common = dict(
             extractor=extractor, max_t=max_t, sub_iters=sub_iters,
             n_scales=n, frame_hw=frame_hw, strength=strength,
             quantile=quantile, llambda=llambda, stop_guidance=stop_guidance,
             omega=omega, reblurring=reblurring, seg_len=seg_len,
+            sharding=sharding, collect_interm=collect_interm,
         )
-        clip_params = extractor.variables if sub_iters > 0 else None
+        clip_params = extractor_vars if sub_iters > 0 else None
         if seg_len is None:
-            prev_canvas, carry, scores, _ = jit_bucketed_scale(
+            prev_canvas, carry, scores, _, frames = jit_bucketed_scale(
                 model, params, sched, prev_canvas, carry, sub,
                 prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
-                jnp.asarray(int(custom_t_list[s - 1])), embeds_hr,
-                clip_params, **common,
+                jnp.asarray(total_t), embeds_hr,
+                clip_params, None, None, jnp.asarray(t_min_s), **common,
             )
         else:
             # bounded-duration device calls sharing one executable: thread
             # (x, carry, key) through; prev_canvas stays the previous
             # scale's output (reblur anchor) for every segment
             x_seg, seg_key = prev_canvas, sub
-            parts = []
+            parts, fparts = [], []
             for gi in range(n_segs):
-                x_seg, carry, sc, seg_key = jit_bucketed_scale(
+                x_seg, carry, sc, seg_key, fr = jit_bucketed_scale(
                     model, params, sched, prev_canvas, carry, seg_key,
                     prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
-                    jnp.asarray(int(custom_t_list[s - 1])), embeds_hr,
+                    jnp.asarray(total_t), embeds_hr,
                     clip_params, x_seg,
-                    jnp.asarray(gi * seg_len, jnp.int32), **common,
+                    jnp.asarray(gi * seg_len, jnp.int32),
+                    jnp.asarray(t_min_s), **common,
                 )
                 parts.append(sc)
+                if fr is not None:
+                    fparts.append(fr)
             prev_canvas = x_seg
             scores = jnp.concatenate(parts, axis=0)[:max_t]
+            frames = jnp.concatenate(fparts, axis=0) if fparts else None
+        aux_s = {"clip_score": scores}
+        if frames is not None:
+            # active steps are j = 0 .. total_t-1-t_min (t descending);
+            # crop to the valid region like the scale output itself
+            aux_s["interm"] = frames[: total_t - t_min_s, :, :hs, :ws, :]
         outputs.append(prev_canvas[:, :hs, :ws, :])
-        aux.append({"clip_score": scores})
+        aux.append(aux_s)
         prev_valid = cur_valid
     return outputs, aux
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("extractor", "n_iters", "strength"),
+    static_argnames=("extractor", "n_iters", "strength", "collect_interm"),
 )
 def _clip_roi_ascent(
     extractor: ClipExtractor,
@@ -309,11 +364,15 @@ def _clip_roi_ascent(
     key: jax.Array,
     n_iters: int,
     strength: float,
+    collect_interm: bool = False,
 ):
     """100-iteration normalized CLIP gradient ascent (trainer.py:429-449).
 
     ``clip_params`` carries the tower weights as a traced argument (see
     clip_extractor.embed_image_views on why closures are fatal at scale).
+    ``collect_interm`` additionally stacks the pre-update patch of every
+    iteration ([n_iters, B, h, w, 3]) — the reference's per-iter
+    ``interm_samples_clip_roi/iter_{i}.png`` dumps (trainer.py:427-434).
     """
 
     def body(carry, k):
@@ -327,13 +386,18 @@ def _clip_roi_ascent(
         score, grad = jax.value_and_grad(loss_fn)(x)
         norm_x = jnp.sqrt(jnp.sum(x * x, axis=(1, 2, 3), keepdims=True))
         norm_g = jnp.sqrt(jnp.sum(grad * grad, axis=(1, 2, 3), keepdims=True))
-        x = x + strength * (norm_x / jnp.maximum(norm_g, 1e-12)) * grad
-        x = jnp.clip(x, -1.0, 1.0)
-        return x, score
+        x_new = x + strength * (norm_x / jnp.maximum(norm_g, 1e-12)) * grad
+        x_new = jnp.clip(x_new, -1.0, 1.0)
+        out = (score, x) if collect_interm else score
+        return x_new, out
 
     keys = jax.random.split(key, n_iters)
-    patch, scores = jax.lax.scan(body, patch, keys)
-    return patch, scores
+    patch, outs = jax.lax.scan(body, patch, keys)
+    if collect_interm:
+        scores, frames = outs
+    else:
+        scores, frames = outs, None
+    return patch, scores, frames
 
 
 def clip_roi_sampling(
@@ -351,8 +415,15 @@ def clip_roi_sampling(
     num_denoising_steps: int = 3,
     clip_roi_bb: Sequence[int] = (0, 0, 32, 32),
     omega: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (final [B,H,W,3] in [-1,1], ascent scores [n_iters])."""
+    collect_interm: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[dict]]:
+    """Returns (final [B,H,W,3] in [-1,1], ascent scores [n_iters], interm).
+
+    ``collect_interm=True`` returns a third dict with the per-iter ascent
+    patches (``"ascent"`` [n_iters, B, h, w, 3], reference
+    trainer.py:427-434) and the final-denoise frames (``"denoise"``,
+    models.py:540-546 dumps).
+    """
     n = pyramid.n_scales
     embeds = extractor.get_text_embedding(
         text_input, get_augmentations_template("lr")
@@ -365,17 +436,24 @@ def clip_roi_sampling(
     patch = image[:, y : y + h, x : x + w, :]
 
     key, ka, ks = jax.random.split(key, 3)
-    patch, scores = _clip_roi_ascent(
+    patch, scores, ascent_frames = _clip_roi_ascent(
         extractor, patch, embeds, extractor.variables, ka,
-        num_clip_iters, strength
+        num_clip_iters, strength, collect_interm=collect_interm,
     )
     image = image.at[:, y : y + h, x : x + w, :].set(patch)
 
-    final, _, _ = jit_sample_via_scale(
+    final, _, aux = jit_sample_via_scale(
         model, params, sched, image, ks, image.shape[1:3], n - 1,
         int(num_denoising_steps), 0, False, omega,
+        collect_interm=collect_interm,
     )
-    return final, scores
+    interm = None
+    if collect_interm:
+        interm = {
+            "ascent": ascent_frames,
+            "denoise": aux.get("interm") if isinstance(aux, dict) else None,
+        }
+    return final, scores, interm
 
 
 def run_clip_mode(
@@ -425,13 +503,33 @@ def run_clip_mode(
             bb = [r[1], r[0], r[3], r[2]]
         else:
             bb = list(args.target_roi)
-        final, scores = clip_roi_sampling(
+        save_interm = getattr(args, "save_interm", False)
+        final, scores, interm = clip_roi_sampling(
             model, params, sched, pyramid, extractor, key,
             text_input=args.clip_text, strength=0.1,
             sample_batch_size=args.sample_batch_size,
             num_clip_iters=100, num_denoising_steps=3, clip_roi_bb=bb,
-            omega=args.omega,
+            omega=args.omega, collect_interm=save_interm,
         )
+        if interm is not None:
+            # per-iter ascent patch dumps (reference trainer.py:427-434
+            # writes interm_samples_clip_roi/iter_{i}.png) + the final
+            # 3-step denoise frames in the via-scale layout
+            from sinddm_tpu.ops.image_io import save_interm_frames
+
+            idir = Path(results_folder) / "interm_samples_clip_roi"
+            ascent = np.asarray(interm["ascent"])
+            for i in range(ascent.shape[0]):
+                save_image(
+                    (np.clip(ascent[i], -1.0, 1.0) + 1.0) * 0.5,
+                    idir / f"iter_{i}.png",
+                )
+            if interm.get("denoise") is not None:
+                save_interm_frames(
+                    interm["denoise"],
+                    Path(results_folder) / f"interm_samples_scale_{n - 1}",
+                    s=n - 1,
+                )
         save_image(
             np.asarray((final + 1) * 0.5),
             out_dir / f"clip_roi_{args.clip_text.replace(' ', '_')}.png",
@@ -464,12 +562,35 @@ def run_clip_mode(
         sample_batch_size=args.sample_batch_size,
         custom_t_list=sample_t_list, stop_guidance=3,
         scale_mul=scale_mul, reblurring=False, omega=args.omega,
+        sample_limited_t=getattr(args, "sample_limited_t", False),
         sharding=sharding, precompile=precompile,
         bucketed=getattr(args, "bucketed_guidance", False),
         seg_len=getattr(args, "guidance_seg_len", None) or None,
+        collect_interm=getattr(args, "save_interm", False),
         **cfg,
     )
     desc = f"{args.mode}_{args.clip_text.replace(' ', '_')}"
+    if getattr(args, "save_interm", False):
+        # aux aligns with outputs; style_trans's first entry is the
+        # injected image at scale n-2 (aux None), the rest are via scales
+        from sinddm_tpu.ops.image_io import save_interm_frames
+
+        scales = (
+            list(range(n)) if cfg["start_noise"] else [n - 2, n - 1]
+        )
+        for s, a in zip(scales, aux):
+            if not isinstance(a, dict) or a.get("interm") is None:
+                continue
+            t_min = (
+                int(sched.num_timesteps_ideal[s + 1])
+                if (getattr(args, "sample_limited_t", False) and s < n - 1)
+                else 0
+            )
+            save_interm_frames(
+                a["interm"],
+                Path(results_folder) / f"interm_samples_scale_{s}",
+                s=s, t_min=t_min,
+            )
     for i, out in enumerate(outputs):
         save_image(
             np.asarray((out + 1) * 0.5), out_dir / f"{desc}_s{i}.png"

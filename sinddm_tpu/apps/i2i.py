@@ -43,14 +43,19 @@ def image2image(
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     use_hist: Optional[bool] = None,
     omega: float = 0.0,
+    sample_limited_t: bool = False,
     sharding=None,
+    collect_aux: Optional[List] = None,
+    collect_interm: bool = False,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Run i2i; returns (final composite [B,H,W,3] in [0,1], per-scale raw).
 
     ``input_img``: [H, W, 3] float in [-1, 1] (already auto_scale-capped by
     :func:`sinddm_tpu.pyramid.load_external_image`). ``mask_img``: raw
     [H, W, C] float in [0, 1] mask (harmonization only; resized+dilated
-    here, reference trainer.py:300-306).
+    here, reference trainer.py:300-306). ``collect_interm=True`` appends
+    each run scale's per-step frame stack to ``collect_aux`` (reference
+    dumps them in the via-scale loop, models.py:511-526).
     """
     n_scales = pyramid.n_scales
     if start_s is None:
@@ -124,11 +129,19 @@ def image2image(
         s = i + start_s
         ds_factor = pyramid.scale_factor ** (n_scales - s - 1)
         cur_size = (int(h_in / ds_factor), int(w_in / ds_factor))
-        key, sub = jax.random.split(key)
-        x, _, _ = jit_sample_via_scale(
-            model, params, sched_run, prev, sub, cur_size, s,
-            int(custom_t[s]), 0, True, omega, sharding=sharding,
+        t_min = (
+            int(sched.num_timesteps_ideal[s + 1])
+            if (sample_limited_t and s < n_scales - 1)
+            else 0
         )
+        key, sub = jax.random.split(key)
+        x, _, aux = jit_sample_via_scale(
+            model, params, sched_run, prev, sub, cur_size, s,
+            int(custom_t[s]), t_min, True, omega, sharding=sharding,
+            collect_interm=collect_interm,
+        )
+        if collect_aux is not None:
+            collect_aux.append(aux)
         outputs.append(x)
         prev = x
 

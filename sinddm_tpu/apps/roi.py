@@ -33,9 +33,12 @@ def roi_guided_sampling(
     batch_size: int = 4,
     scale_mul: Tuple[float, float] = (1.0, 1.0),
     reblurring: bool = True,
+    sample_limited_t: bool = False,
     omega: float = 0.0,
     sharding=None,
     precompile: bool = False,
+    collect_aux=None,
+    collect_interm: bool = False,
 ) -> List[jnp.ndarray]:
     def guidance_factory(s, size_hw):
         fn = make_roi_guidance(
@@ -54,6 +57,8 @@ def roi_guided_sampling(
         batch_size=batch_size, scale_mul=scale_mul,
         custom_t_list=custom_t_list, custom_sample=False,
         reblurring=reblurring, omega=omega,
+        sample_limited_t=sample_limited_t,
         guidance_factory=guidance_factory, sharding=sharding,
         precompile=precompile,
+        collect_aux=collect_aux, collect_interm=collect_interm,
     )

@@ -355,6 +355,8 @@ def sample_scales(
                 jnp.asarray(start_image, jnp.float32)[None],
                 (batch_size,) + np.asarray(start_image).shape,
             )
+            if collect_aux is not None:
+                collect_aux.append(None)  # keep aux aligned with outputs
         else:
             if carry_transform is not None and gcarry is not None:
                 gcarry = carry_transform(s, gcarry, step["size_hw"])

@@ -69,7 +69,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale_mul", nargs="+", default=[1, 1], type=float)
     p.add_argument("--sample_t_list", nargs="+", type=int)
     # device
-    p.add_argument("--device_num", default=0, type=int)
+    p.add_argument("--device_num", default=0, type=int,
+                   help="index into jax.devices() to run on (reference "
+                        "main.py:53 selects the CUDA device; out-of-range "
+                        "indices warn and fall back to device 0)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port; every "
+                        "process runs the same CLI with --num_processes/"
+                        "--process_id (or SINDDM_COORDINATOR/_NUM_PROCESSES/"
+                        "_PROCESS_ID env) and the mesh spans all hosts over "
+                        "DCN (parallel/distributed.py)")
+    p.add_argument("--num_processes", default=None, type=int,
+                   help="multi-host: total number of processes")
+    p.add_argument("--process_id", default=None, type=int,
+                   help="multi-host: this process's index")
     p.add_argument("--mesh_data", default=1, type=int,
                    help="devices on the 'data' (batch) mesh axis; "
                         "mesh_data*mesh_spatial devices are used (1 1 = no mesh)")
@@ -107,8 +120,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the OpenCV ROI selector instead of flags")
     p.add_argument("--save_interm", action="store_true",
                    help="dump every intermediate denoised state as PNG "
-                        "grids under interm_samples_scale_{s}/ (reference "
-                        "models.py:469-475,511-526; sample mode only)")
+                        "grids under interm_samples_scale_{s}/ (and "
+                        "interm_samples_clip_roi/ for clip_roi) — all "
+                        "sampling modes (reference models.py:469-475,"
+                        "511-526, trainer.py:427-434)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the mode's device "
+                        "work into DIR (open with TensorBoard); wraps the "
+                        "whole mode body in jax.profiler.trace")
     p.add_argument("--clip_weights", default=None,
                    help="path to CLIP ViT-B/32 weights (.pt or converted)")
     p.add_argument("--clip_dtype", default="float32",
@@ -143,6 +162,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        from sinddm_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            _run(args)
+        print(f"profiler trace written to {args.profile}")
+        return
+    _run(args)
+
+
+def _run(args) -> None:
+    # multi-host entry MUST precede the first backend touch (jax.devices)
+    from sinddm_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     import jax
     import jax.numpy as jnp
@@ -155,7 +193,26 @@ def main(argv=None) -> None:
     from sinddm_tpu.schedules import make_schedules
     from sinddm_tpu.training import MultiscaleTrainer
 
-    print(f"devices: {jax.devices()}")
+    print(
+        f"devices: {jax.devices()}"
+        + (
+            f" (process {jax.process_index()}/{jax.process_count()})"
+            if dist.is_initialized()
+            else ""
+        )
+    )
+    if args.device_num:
+        devs = jax.devices()
+        if 0 <= args.device_num < len(devs):
+            # computations without explicit shardings run here (the
+            # reference's --device_num selects the CUDA device, main.py:53)
+            jax.config.update("jax_default_device", devs[args.device_num])
+            print(f"default device: {devs[args.device_num]}")
+        else:
+            print(
+                f"--device_num {args.device_num} out of range "
+                f"({len(devs)} devices); using device 0"
+            )
     from sinddm_tpu.config import MeshConfig
 
     mesh_cfg = MeshConfig(data=args.mesh_data, spatial=args.mesh_spatial)
@@ -239,6 +296,29 @@ def main(argv=None) -> None:
 
     key = jax.random.PRNGKey(args.seed + 777)
 
+    def dump_interm(aux_list, scales=None):
+        # per-step frame dumps, reference layout interm_samples_scale_{s}/
+        # output_t-{t:03}_s-{s}.png (models.py:469-475,511-526)
+        if not dist.is_primary():
+            return
+        from sinddm_tpu.ops.image_io import save_interm_frames
+
+        if scales is None:
+            scales = list(range(len(aux_list)))
+        for s, aux in zip(scales, aux_list):
+            if not isinstance(aux, dict) or aux.get("interm") is None:
+                continue
+            t_min = (
+                sched.num_timesteps_ideal[s + 1]
+                if (args.sample_limited_t and s < pyramid.n_scales - 1)
+                else 0
+            )
+            save_interm_frames(
+                aux["interm"],
+                Path(results_folder) / f"interm_samples_scale_{s}",
+                s=s, t_min=t_min,
+            )
+
     def run_sample(desc: str, **kw):
         interm_aux = [] if args.save_interm else None
         outs = sample_scales(
@@ -253,35 +333,18 @@ def main(argv=None) -> None:
             **kw,
         )
         if interm_aux is not None:
-            # per-step frame dumps, reference layout interm_samples_scale_{s}/
-            # output_t-{t:03}_s-{s}.png (models.py:469-475,511-526)
-            for s, aux in enumerate(interm_aux):
-                if aux is None or "interm" not in aux:
-                    continue
-                frames = np.asarray(aux["interm"])  # [n_steps, B, H, W, 3]
-                n_steps = frames.shape[0]
-                t_min = (
-                    sched.num_timesteps_ideal[s + 1]
-                    if (args.sample_limited_t and s < pyramid.n_scales - 1)
-                    else 0
-                )
-                sdir = Path(results_folder) / f"interm_samples_scale_{s}"
-                for j in range(n_steps):
-                    t_val = t_min + n_steps - 1 - j  # scan runs t descending
-                    save_image(
-                        np.asarray((frames[j] + 1) * 0.5),
-                        sdir / f"output_t-{t_val:03d}_s-{s}.png",
-                    )
+            dump_interm(interm_aux)
         final_dir = Path(results_folder) / "final_samples"
         stamp = str(datetime.datetime.now()).replace(":", "_").replace(" ", "_")
         for i, out in enumerate(outs):
             save_image(
-                np.asarray((out + 1) * 0.5),
+                dist.fetch((out + 1) * 0.5),
                 final_dir / f"out_s{i}_{desc}_{stamp}.png",
             )
         unb = Path(results_folder) / f"final_samples_unbatched_{desc}_{stamp}"
-        for b in range(outs[-1].shape[0]):
-            save_image(np.asarray((outs[-1][b] + 1) * 0.5), unb / f"out_b{b}.png")
+        fin01 = dist.fetch((outs[-1] + 1) * 0.5)
+        for b in range(fin01.shape[0]):
+            save_image(fin01[b], unb / f"out_b{b}.png")
         return outs
 
     if args.mode == "train":
@@ -296,7 +359,7 @@ def main(argv=None) -> None:
                 args.omega,
             )
             save_image(
-                np.asarray((x + 1) * 0.5),
+                dist.fetch((x + 1) * 0.5),
                 Path(results_folder) / f"sample-{milestone}.png",
             )
 
@@ -333,18 +396,26 @@ def main(argv=None) -> None:
         )
         start_s = pyramid.n_scales - 1
         custom_t = [0] * (pyramid.n_scales - 1) + [start_t]
+        interm_aux = [] if args.save_interm else None
         final, _ = image2image(
             model, trainer.state.ema_params, sched, pyramid, input_img, key,
             mode=args.mode, mask_img=mask_img, start_s=start_s,
             custom_t=custom_t, batch_size=args.sample_batch_size,
-            scale_mul=(1.0, 1.0), omega=args.omega, sharding=sample_sharding,
+            scale_mul=(1.0, 1.0), omega=args.omega,
+            sample_limited_t=args.sample_limited_t, sharding=sample_sharding,
+            collect_aux=interm_aux, collect_interm=args.save_interm,
         )
+        if interm_aux is not None:
+            dump_interm(
+                interm_aux, scales=list(range(start_s, pyramid.n_scales))
+            )
         out_dir = Path(results_folder) / "i2i_final_samples"
         stem = args.input_image.rsplit(".", 1)[0]
-        save_image(np.asarray(final), out_dir / f"{stem}_i2i_{args.mode}.png")
+        final_np = dist.fetch(final)
+        save_image(final_np, out_dir / f"{stem}_i2i_{args.mode}.png")
         for b in range(final.shape[0]):
             save_image(
-                np.asarray(final[b]),
+                final_np[b],
                 Path(results_folder) / f"unbatched_i2i_{stem}" / f"out_b{b}.png",
             )
         print(f"saved i2i results to {out_dir}")
@@ -352,20 +423,27 @@ def main(argv=None) -> None:
     elif args.mode == "roi":
         from sinddm_tpu.apps.roi import roi_guided_sampling
 
+        n_last = pyramid.n_scales - 1
+        h_fin, w_fin = pyramid.sizes_hw[n_last]
+        # target boxes address the scale_mul-enlarged canvas (reference
+        # main.py:269-271 selects them on an empty canvas of that size)
+        canvas_h = int(h_fin * scale_mul[0])
+        canvas_w = int(w_fin * scale_mul[1])
         if args.interactive:
             import cv2
 
             image_path = os.path.join(
                 args.dataset_folder,
-                f"scale_{pyramid.n_scales - 1}",
+                f"scale_{n_last}",
                 args.image_name.rsplit(".", 1)[0] + ".png",
             )
             img = cv2.imread(image_path)
             r = cv2.selectROI(img)
             target_roi = [r[1], r[0], r[3], r[2]]
+            empty = np.ones((canvas_h, canvas_w, 3))
             roi_bb_list = []
             for _ in range(args.roi_n_tar):
-                r = cv2.selectROI(img)
+                r = cv2.selectROI(empty)
                 roi_bb_list.append([r[1], r[0], r[3], r[2]])
         else:
             assert args.target_roi is not None and args.roi_bb, (
@@ -374,15 +452,41 @@ def main(argv=None) -> None:
             target_roi = list(args.target_roi)
             roi_bb_list = [list(bb) for bb in args.roi_bb]
 
+        # roi_patches.png preview: the target patch pasted (nearest-resized)
+        # into an empty canvas at every target box (reference main.py:272-285)
+        from PIL import Image as _Image
+
+        from sinddm_tpu.ops.image_io import to_uint8 as _to_uint8
+
+        src01 = (np.asarray(pyramid.images[n_last]) + 1.0) * 0.5
+        ty, tx, th, tw = (int(v) for v in target_roi)
+        patch01 = src01[ty : ty + th, tx : tx + tw, :]
+        preview = np.ones((canvas_h, canvas_w, 3), np.float32)
+        for bb in roi_bb_list:
+            y, x, h, w = (int(v) for v in bb)
+            resized = np.asarray(
+                _Image.fromarray(_to_uint8(patch01)).resize(
+                    (w, h), _Image.NEAREST
+                ),
+                np.float32,
+            ) / 255.0
+            preview[y : y + h, x : x + w, :] = resized
+        save_image(preview, Path(results_folder) / "roi_patches.png")
+
+        interm_aux = [] if args.save_interm else None
         outs = roi_guided_sampling(
             model, trainer.state.ema_params, sched, pyramid, key,
             target_roi=target_roi, roi_bb_list=roi_bb_list,
             custom_t_list=sample_t_list, batch_size=args.sample_batch_size,
-            scale_mul=scale_mul, omega=args.omega, sharding=sample_sharding,
+            scale_mul=scale_mul, omega=args.omega,
+            sample_limited_t=args.sample_limited_t, sharding=sample_sharding,
             precompile=args.precompile,
+            collect_aux=interm_aux, collect_interm=args.save_interm,
         )
+        if interm_aux is not None:
+            dump_interm(interm_aux)
         out_dir = Path(results_folder) / "final_samples"
-        save_image(np.asarray((outs[-1] + 1) * 0.5), out_dir / "roi_out.png")
+        save_image(dist.fetch((outs[-1] + 1) * 0.5), out_dir / "roi_out.png")
         print(f"saved ROI results to {out_dir}")
 
     elif args.mode in ("clip_content", "clip_style_gen", "clip_style_trans", "clip_roi"):

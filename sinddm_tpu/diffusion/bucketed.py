@@ -117,7 +117,10 @@ def sample_via_scale_bucketed(
     x_carry: Optional[jnp.ndarray] = None,
     j_offset=None,
     seg_len: Optional[int] = None,
-) -> Tuple[jnp.ndarray, Any, jnp.ndarray, jax.Array]:
+    t_min=None,
+    sharding=None,
+    collect_interm: bool = False,
+) -> Tuple[jnp.ndarray, Any, jnp.ndarray, jax.Array, Optional[jnp.ndarray]]:
     """Reverse-denoise ONE scale on the shared canvas (jit-once for all).
 
     ``model_fn_masked(x, t_vec, s_value, mask)`` is the valid-mask
@@ -125,6 +128,16 @@ def sample_via_scale_bucketed(
     static scan length (>= any total_t; inactive steps are cond-skipped).
     ``guidance_builder(valid_hw, valid_mask2d, n_valid) -> guidance_fn``
     constructs the CLIP hook with the traced canvas context.
+
+    ``t_min`` (traced, default 0) stops the chain early — steps with
+    ``t < t_min`` are cond-skipped, the --sample_limited_t semantics of
+    the reference's every ``p_sample_loop`` (models.py:476-479).
+    ``sharding``: optional NamedSharding for the canvas state; one
+    constraint on the initial state propagates through the scan (batch
+    over 'data', optionally H over 'spatial'). ``collect_interm`` (static)
+    additionally stacks every post-step canvas state as a fifth return
+    value [n_steps, B, H, W, 3] (t descending) — the functional form of
+    the reference's per-step ``save_interm`` dumps (models.py:511-526).
 
     Segmented mode (``seg_len``/``j_offset``/``x_carry`` set): run only
     scan steps ``j_offset .. j_offset+seg_len-1`` of the same chain —
@@ -167,6 +180,8 @@ def sample_via_scale_bucketed(
     key, kn = jax.random.split(key_in)
     noise = jax.random.normal(kn, img_prev.shape, dtype=img_prev.dtype)
     x = q_sample(sched, img_prev, jnp.asarray(total_t), noise) * mask4
+    if sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, sharding)
     if j_offset is None:
         j0 = jnp.asarray(0, jnp.int32)
     else:
@@ -174,6 +189,7 @@ def sample_via_scale_bucketed(
         first = j0 == 0
         x = jnp.where(first, x, x_carry)
         key = jnp.where(first, key, key_in)
+    t_lo = jnp.asarray(0 if t_min is None else t_min, jnp.int32)
 
     def body(carry, jj):
         x, key, gcarry = carry
@@ -198,14 +214,21 @@ def sample_via_scale_bucketed(
             x, gcarry, _ = args
             return x, gcarry, jnp.zeros((max(sub_iters, 1),))
 
-        x, gcarry, score = jax.lax.cond(t >= 0, active, skip, (x, gcarry, sub))
-        return (x, key, gcarry), score
+        x, gcarry, score = jax.lax.cond(
+            t >= t_lo, active, skip, (x, gcarry, sub)
+        )
+        out = (x, score) if collect_interm else score
+        return (x, key, gcarry), out
 
     n_steps = max_t if seg_len is None else seg_len
-    (x, key, guidance_carry), scores = jax.lax.scan(
+    (x, key, guidance_carry), outs = jax.lax.scan(
         body, (x, key, guidance_carry), jnp.arange(n_steps)
     )
-    return x, guidance_carry, scores, key
+    if collect_interm:
+        interm, scores = outs[0], outs[1]
+    else:
+        interm, scores = None, outs
+    return x, guidance_carry, scores, key, interm
 
 
 def place_on_canvas(x: jnp.ndarray, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
@@ -220,7 +243,7 @@ def place_on_canvas(x: jnp.ndarray, canvas_hw: Tuple[int, int]) -> jnp.ndarray:
     static_argnames=(
         "model", "extractor", "max_t", "sub_iters", "n_scales", "frame_hw",
         "strength", "quantile", "llambda", "stop_guidance", "omega",
-        "reblurring", "seg_len",
+        "reblurring", "seg_len", "sharding", "collect_interm",
     ),
 )
 def jit_bucketed_scale(
@@ -238,6 +261,7 @@ def jit_bucketed_scale(
     clip_params=None,
     x_carry=None,
     j_offset=None,
+    t_min=None,
     *,
     extractor=None,
     max_t: int,
@@ -251,6 +275,8 @@ def jit_bucketed_scale(
     omega: float = 0.0,
     reblurring: bool = False,
     seg_len: Optional[int] = None,
+    sharding=None,
+    collect_interm: bool = False,
 ):
     """ONE executable for every guided via-scale (and any canvas-size run).
 
@@ -258,8 +284,11 @@ def jit_bucketed_scale(
     budget, text embeddings, and ``clip_params`` (the CLIP tower variables
     — MUST be traced at real ViT-B/32 scale; closed-over weights become
     ~600 MB of HLO constants the remote compile service rejects).
-    Static: scan length, guidance hyperparams.
-    Returns (canvas state, carry, clip scores [n_steps, sub_iters], key).
+    Static: scan length, guidance hyperparams, sharding, collect_interm.
+    Returns (canvas state, carry, clip scores [n_steps, sub_iters], key,
+    interm frames or None). ``t_min`` (traced) is the
+    ``--sample_limited_t`` early stop; ``sharding`` shards the canvas
+    state over a mesh; ``collect_interm`` stacks per-step frames.
 
     Segmented mode (static ``seg_len`` + traced ``j_offset``/``x_carry``):
     runs scan steps ``j_offset .. j_offset+seg_len-1`` only; re-enter the
@@ -318,4 +347,5 @@ def jit_bucketed_scale(
         guidance_params=clip_params,
         sub_iters=sub_iters,
         x_carry=x_carry, j_offset=j_offset, seg_len=seg_len,
+        t_min=t_min, sharding=sharding, collect_interm=collect_interm,
     )

@@ -39,10 +39,43 @@ def make_grid(batch01: np.ndarray, nrow: int = 4, padding: int = 2) -> np.ndarra
 
 
 def save_image(img01: np.ndarray, path: Union[str, Path], nrow: int = 4) -> None:
-    """Save [B,H,W,C] (as a grid) or [H,W,C] image in [0,1] to PNG."""
+    """Save [B,H,W,C] (as a grid) or [H,W,C] image in [0,1] to PNG.
+
+    Multi-host: a no-op on every process but 0 — sampled arrays are
+    global, exactly one process owns the PNG artifacts
+    (parallel/distributed.py)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     img01 = np.asarray(img01)
     if img01.ndim == 4:
         img01 = make_grid(img01, nrow=nrow)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(to_uint8(img01)).save(path)
+
+
+def save_interm_frames(
+    frames: np.ndarray,
+    out_dir: Union[str, Path],
+    *,
+    s: int,
+    t_min: int = 0,
+) -> None:
+    """Dump a per-step frame stack in the reference's ``save_interm`` layout.
+
+    ``frames``: [n_steps, B, H, W, 3] in [-1, 1], t DESCENDING (the
+    ``lax.scan`` order) — written as ``output_t-{t:03}_s-{s}.png`` grids
+    under ``out_dir`` (reference models.py:480-486,540-546 saves one
+    grid per reverse step, t counting down to ``t_min``).
+    """
+    frames = np.asarray(frames)
+    n_steps = frames.shape[0]
+    out_dir = Path(out_dir)
+    for j in range(n_steps):
+        t_val = t_min + n_steps - 1 - j
+        save_image(
+            (frames[j] + 1.0) * 0.5,
+            out_dir / f"output_t-{t_val:03d}_s-{s}.png",
+        )

@@ -39,6 +39,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Output-pixel tile: 512 rows keeps every VMEM buffer small
 # (A 512x186 = 381 KB, slab 512x248 = 508 KB) while giving the MXU
@@ -46,6 +47,24 @@ from jax.experimental import pallas as pl
 _TQ = 512
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# Conservative budget for the whole-image VMEM blocks: the fwd kernel
+# holds img [C, H, W] + A/B/slab tiles, the bwd kernel additionally the
+# full [C, H, W] gradient accumulator. Past this, Mosaic fails with an
+# opaque VMEM-exhaustion error — fail early with a pointer to the XLA
+# matmul path instead.
+_VMEM_IMG_BUDGET = 4 * 1024 * 1024
+
+
+def _check_vmem(H: int, W: int, C: int) -> None:
+    nbytes = C * H * W * 4
+    if nbytes > _VMEM_IMG_BUDGET:
+        raise ValueError(
+            f"bilinear_sample_pallas: image [{H}, {W}, {C}] needs "
+            f"{nbytes / 1e6:.1f} MB of VMEM residency, over the "
+            f"{_VMEM_IMG_BUDGET / 1e6:.0f} MB budget; use the XLA matmul "
+            "path (warp_homography(..., mm_adjoint=True)) for large images."
+        )
 
 
 def _pad_n(n: int) -> int:
@@ -126,6 +145,7 @@ def bilinear_sample_pallas(
 
 def _forward(img, coords, fill, interpret=False):
     H, W, C = img.shape
+    _check_vmem(H, W, C)
     xs, ys, n = _prep_coords(coords)
     n_pad = xs.shape[1]
     grid = (n_pad // _TQ,)
@@ -161,6 +181,7 @@ def _fwd_rule(img, coords, fill, interpret):
 def _bwd_rule(fill, interpret, res, ct):
     img, coords = res
     H, W, C = img.shape
+    _check_vmem(H, W, C)
     xs, ys, n = _prep_coords(coords)
     n_pad = xs.shape[1]
     ct_flat = jnp.moveaxis(ct.reshape(-1, C), -1, 0)  # [C, n]
@@ -177,6 +198,12 @@ def _bwd_rule(fill, interpret, res, ct):
         ],
         out_specs=pl.BlockSpec((1, C, H, W), lambda q: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, C, H, W), jnp.float32),
+        # The accumulation into the revisited output block (zero-init at
+        # q==0, += after) is only correct under sequential grid execution
+        # — pin it so a future parallel/megacore annotation can't race it.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(xs, ys, ct_flat)
     ct_img = jnp.moveaxis(gimg[0], 0, -1).astype(img.dtype)  # [H, W, C]

@@ -44,9 +44,13 @@ _MM_PRECISION = os.environ.get("SINDDM_MM_PRECISION", "highest")
 # (the folded [N, W*C] intermediate must materialize as a dot operand).
 _MM_FOLD = os.environ.get("SINDDM_MM_FOLD", "0") != "0"
 
-# default warp implementation for guidance ('': the XLA matmul path;
-# 'pallas': the fused VMEM kernel in ops/pallas_warp.py). Module-level so
-# benchmarks can flip it between traces, env for CLI-level experiments.
+# default warp implementation for GUIDANCE call sites only ('': the XLA
+# matmul path; 'pallas': the fused VMEM kernel in ops/pallas_warp.py).
+# Module-level so benchmarks can flip it between traces, env for CLI-level
+# experiments. Scoped to mm_adjoint=True callers: like bilinear_sample_mm,
+# the pallas kernel zeroes the coords cotangent, so applying it to
+# gather-path callers (which DO propagate coordinate gradients, e.g.
+# ops/augment_extra.py) would silently change differentiability semantics.
 _WARP_IMPL = os.environ.get("SINDDM_WARP_IMPL", "")
 
 
@@ -238,7 +242,9 @@ def warp_homography(
     sets the MXU precision of that path (None = module default).
     ``impl='pallas'`` routes both directions through the fused VMEM
     kernel (``ops/pallas_warp.py``; also no gradient to ``matrix``);
-    None falls back to the module default (``SINDDM_WARP_IMPL``).
+    None falls back to the module default (``SINDDM_WARP_IMPL``) — but
+    only for ``mm_adjoint=True`` call sites, so the env var cannot
+    silently zero coordinate gradients for gather-path callers.
     """
     h, w = out_hw
     ys, xs = jnp.meshgrid(
@@ -252,15 +258,15 @@ def warp_homography(
     src = src[..., :2] / jnp.maximum(jnp.abs(src[..., 2:3]), 1e-8) * jnp.sign(
         src[..., 2:3]
     )
-    impl = impl if impl is not None else (_WARP_IMPL or None)
+    if impl is None and mm_adjoint:
+        impl = _WARP_IMPL or None
     if impl == "pallas":
-        import jax
-
         from sinddm_tpu.ops.pallas_warp import bilinear_sample_pallas
 
-        # interpret mode on CPU so the same code path is testable there
+        # interpret mode off-TPU so the same code path is testable there
+        # (the Mosaic kernel only compiles for TPU backends)
         return bilinear_sample_pallas(
-            img, src, fill, jax.default_backend() == "cpu"
+            img, src, fill, jax.default_backend() != "tpu"
         )
     if mm_adjoint:
         return bilinear_sample_mm(img, src, fill, precision)

@@ -116,7 +116,7 @@ def test_bucketed_unguided_equals_per_scale_graph(guided_setup):
         model, params, sched, prev, key, (hs, ws), s, total_t, 0,
         True, 0.0,
     )
-    out, _, _, _ = jit_bucketed_scale(
+    out, _, _, _, _ = jit_bucketed_scale(
         model, params, sched, place_on_canvas(prev, (hs, ws)), None, key,
         jnp.asarray([hp, wp], jnp.int32), jnp.asarray([hs, ws], jnp.int32),
         jnp.asarray(s, jnp.int32), jnp.asarray(total_t),
@@ -166,7 +166,7 @@ def test_bucketed_guided_matches_per_scale_graph_closely(guided_setup):
         guidance_carry=init_clip_carry(B, (hs, ws)),
     )
 
-    out, carry, scores, _ = jit_bucketed_scale(
+    out, carry, scores, _, _ = jit_bucketed_scale(
         model, params, sched, place_on_canvas(prev, (hs, ws)),
         init_clip_carry(B, (hs, ws)), key,
         jnp.asarray([hp, wp], jnp.int32), jnp.asarray([hs, ws], jnp.int32),
@@ -266,7 +266,7 @@ def test_bucketed_reblurring_variant_runs(guided_setup):
         jax.random.PRNGKey(2), (B, h0, w0, 3), minval=-1.0, maxval=1.0
     )
     for s in range(1, n):
-        out, _, _, _ = jit_bucketed_scale(
+        out, _, _, _, _ = jit_bucketed_scale(
             model, params, sched, place_on_canvas(prev, (hs, ws)), None,
             jax.random.PRNGKey(s),
             jnp.asarray(pyr.sizes_hw[s - 1], jnp.int32),

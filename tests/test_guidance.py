@@ -317,11 +317,17 @@ def test_clip_roi_sampling_end_to_end(tiny_extractor, tiny_pyramid):
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
         jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
     )["params"]
-    final, scores = clip_roi_sampling(
+    final, scores, interm = clip_roi_sampling(
         model, params, sched, pyr, tiny_extractor, jax.random.PRNGKey(2),
         text_input="a fire", sample_batch_size=1, num_clip_iters=3,
         num_denoising_steps=2, clip_roi_bb=(4, 4, 16, 16),
+        collect_interm=True,
     )
     assert final.shape == (1, h, w, 3)
     assert scores.shape == (3,)
     assert np.isfinite(np.asarray(final)).all()
+    # save_interm plumbing: per-iter ascent patches + denoise frames
+    # (reference trainer.py:427-434, models.py:540-546)
+    assert interm["ascent"].shape == (3, 1, 16, 16, 3)
+    assert interm["denoise"].shape == (2, 1, h, w, 3)
+    assert np.isfinite(np.asarray(interm["ascent"])).all()
