@@ -55,7 +55,18 @@ def main() -> None:
     sched = make_schedules(
         timesteps=100, scale_losses=pyr.rescale_losses, n_scales=pyr.n_scales
     )
-    model = SinDDMNet(dim=160)
+    # headline dtype: bfloat16 — measured quality-neutral on all four
+    # 120k flagships (conv-proxy SIFID at or below the fp32 4-seed band,
+    # benchmarks/bf16_frontier.json) at a ~1.12x median speedup. fp32
+    # remains the cross-parity mode (SINDDM_BENCH_DTYPE=float32).
+    bench_dtype = os.environ.get("SINDDM_BENCH_DTYPE", "bfloat16")
+    model = SinDDMNet(
+        dim=160,
+        compute_dtype=(
+            jax.numpy.bfloat16 if bench_dtype == "bfloat16"
+            else jax.numpy.float32
+        ),
+    )
     key = jax.random.PRNGKey(0)
     h0, w0 = pyr.sizes_hw[0]
     params = model.init(
@@ -96,6 +107,19 @@ def main() -> None:
     value = float(np.median(times))
     print(f"headline runs: {[round(t, 4) for t in times]}", file=sys.stderr)
 
+    # ---- utilization: closed-form model FLOPs -> MFU ---------------------
+    from sinddm_tpu.utils.flops import (
+        mfu_fields,
+        sample_pyramid_flops,
+        train_step_flops,
+        vit_b32_flops,
+        warp_mm_flops,
+    )
+
+    sample_flops = sample_pyramid_flops(pyr.sizes_hw, t_list, B, 160)
+    sample_mfu = mfu_fields(sample_flops, value)
+    print(f"sampling MFU: {sample_mfu}", file=sys.stderr)
+
     # ---- per-scale p_sample steps/s (warm jit cache from run()) ---------
     per_scale = {}
     prev = None
@@ -133,6 +157,7 @@ def main() -> None:
 
     # ---- train throughput (fused grouped chunks, reference shape) -------
     train_sps = None
+    train_mfu = None
     if not os.environ.get("SINDDM_BENCH_SKIP_TRAIN"):
         import shutil
         import tempfile
@@ -156,7 +181,12 @@ def main() -> None:
                 tr.train_chunk_grouped(250)
             float(jax.tree.leaves(tr.state.params)[0].sum())
             train_sps = 500.0 / (time.time() - t0)
-            print(f"train {train_sps:.1f} steps/s", file=sys.stderr)
+            train_mfu = mfu_fields(
+                train_step_flops(pyr.sizes_hw, 32, 160) * 500.0,
+                500.0 / train_sps,
+            )
+            print(f"train {train_sps:.1f} steps/s MFU: {train_mfu}",
+                  file=sys.stderr)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -185,9 +215,10 @@ def main() -> None:
             compute_dtype=None if clip_dtype == "float32" else clip_dtype,
         )
         clip_model, clip_vars = random_clip_params(cfg, seed=0)
-        # view_chunk=4: sequential 4-view chunks keep the warp-VJP scatter
-        # buffers inside HBM at batch 16 (all-at-once OOMs by ~5.5 GB)
-        view_chunk = int(os.environ.get("SINDDM_BENCH_CLIP_VIEW_CHUNK", "4"))
+        # view_chunk=8: with the windowed Pallas warp (no HBM tap-matrix
+        # buffers) 8-view chunks fit and measure 97.8 s vs 107.1 s at 4
+        # (benchmarks, round 4); 16 still OOMs HBM by 5 GB
+        view_chunk = int(os.environ.get("SINDDM_BENCH_CLIP_VIEW_CHUNK", "8"))
         extractor = ClipExtractor(
             clip_model, clip_vars, n_aug=16, view_chunk=view_chunk or None
         )
@@ -221,7 +252,34 @@ def main() -> None:
             gtimes.append(time.time() - t0)
         guided_warm = float(np.median(gtimes))
         n_guided = sum(t_list[:-1]) + max(t_list[-1] - 3, 0)
+        # guided-run model FLOPs (no remat recompute, MFU convention):
+        # every bucketed step runs the denoiser on the finest-scale canvas;
+        # each guided step adds 16 views x (warp fwd+adjoint + ViT fwd+bwd)
+        from sinddm_tpu.guidance.clip_extractor import resize_output_size
+        from sinddm_tpu.utils.flops import denoiser_flops_per_pixel
+
+        canvas = pyr.sizes_hw[-1]
+        frame = resize_output_size(canvas[0], canvas[1])
+        per_px = denoiser_flops_per_pixel(160)
+        h0_, w0_ = pyr.sizes_hw[0]
+        den_flops = (
+            sum(t_list) * B * canvas[0] * canvas[1] * per_px
+            + 100 * B * h0_ * w0_ * per_px
+        )
+        warp1 = warp_mm_flops(frame[0] * frame[1], canvas)
+        vit1 = vit_b32_flops(frame)
+        warp_flops = n_guided * B * 16 * 2 * warp1   # fwd + adjoint
+        vit_flops = n_guided * B * 16 * 3 * vit1     # fwd + ~2x bwd
+        guided_total = den_flops + warp_flops + vit_flops
+        guided_mfu = mfu_fields(guided_total, guided_warm)
+        guided_mfu["flops_split"] = {
+            "warp": round(warp_flops / guided_total, 3),
+            "vit": round(vit_flops / guided_total, 3),
+            "denoiser": round(den_flops / guided_total, 3),
+        }
+        print(f"guided MFU: {guided_mfu}", file=sys.stderr)
         clip_guided = {
+            "utilization": guided_mfu,
             "warm_s": round(guided_warm, 3),
             "cold_s": round(guided_cold, 1),
             "clip_dtype": clip_dtype,
@@ -253,10 +311,13 @@ def main() -> None:
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(5.0 / value, 2),
+        "dtype": bench_dtype,
+        "utilization": sample_mfu,
         "per_scale_sample": per_scale,
     }
     if train_sps is not None:
         out["train_steps_per_s"] = round(train_sps, 1)
+        out["train_utilization"] = train_mfu
     if clip_guided is not None:
         out["clip_guided_vitb32"] = clip_guided
     if ref is not None:

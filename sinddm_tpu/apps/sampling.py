@@ -199,16 +199,18 @@ def sample_scales(
     if sharding is not None:
         # params may arrive committed to one device (e.g. an orbax-restored
         # checkpoint); replicate them over the sampling mesh so jit accepts
-        # the mixed-device call (no-op when already replicated)
+        # the mixed-device call (no-op when already replicated). Under a
+        # multi-host mesh EVERY host-produced jit input must be a committed
+        # global array — keys are staged the same way below.
         from jax.sharding import NamedSharding, PartitionSpec
 
-        params = jax.device_put(
-            params, NamedSharding(sharding.mesh, PartitionSpec())
-        )
+        repl = NamedSharding(sharding.mesh, PartitionSpec())
+        params = jax.device_put(params, repl)
         if guidance_params is not None:
-            guidance_params = jax.device_put(
-                guidance_params, NamedSharding(sharding.mesh, PartitionSpec())
-            )
+            guidance_params = jax.device_put(guidance_params, repl)
+        _stage = lambda x: jax.device_put(x, repl)  # noqa: E731
+    else:
+        _stage = lambda x: x  # noqa: E731
 
     # memoize the factory per (scale, size): the warm-up pass and the real
     # loop must share ONE hook object per scale (jit caches by identity of
@@ -341,6 +343,7 @@ def sample_scales(
     for step in plan:
         s = step["s"]
         key, sub = jax.random.split(key)
+        sub = _stage(sub)
         if step["kind"] == "scale0":
             gfn, gcarry = factory(s, gcarry, step["shape"][1:3])
             x, gcarry, aux = jit_sample_scale0(
@@ -351,10 +354,10 @@ def sample_scales(
             if collect_aux is not None:
                 collect_aux.append(aux)
         elif step["kind"] == "inject":
-            x = jnp.broadcast_to(
+            x = _stage(jnp.broadcast_to(
                 jnp.asarray(start_image, jnp.float32)[None],
                 (batch_size,) + np.asarray(start_image).shape,
-            )
+            ))
             if collect_aux is not None:
                 collect_aux.append(None)  # keep aux aligned with outputs
         else:

@@ -14,7 +14,10 @@ The design is the standard JAX recipe: one ``jax.sharding.Mesh`` with axes
     sequence/context parallelism).
 
 Multi-host: the same mesh spans DCN by constructing it over
-``jax.devices()`` of all processes; nothing else changes.
+``jax.devices()`` of all processes, after joining the multi-process
+runtime via :mod:`sinddm_tpu.parallel.distributed` (initialize, data
+staging, primary-only host IO) — verified by the 2-process localhost
+equality test in ``tests/test_distributed.py``.
 """
 
 from __future__ import annotations

@@ -130,8 +130,14 @@ class MultiscaleTrainer:
             self._batch_sharding = NamedSharding(
                 mesh, P("data", "spatial", None, None)
             )
+            # every host-produced jit input must be a committed GLOBAL
+            # array once the mesh spans processes (multi-host); explicit
+            # replication is also the honest layout single-process
+            repl = NamedSharding(mesh, P())
+            self._stage = lambda x: jax.device_put(x, repl)
         else:
             self._batch_sharding = None
+            self._stage = lambda x: x
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
 
@@ -144,23 +150,23 @@ class MultiscaleTrainer:
         )["params"]
 
         self.opt = make_optimizer(train_cfg)
-        self.state = TrainState(
+        self.state = self._stage(TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             ema_params=jax.tree.map(jnp.copy, params),
             opt_state=self.opt.init(params),
-        )
+        ))
 
         # per-scale device-resident (orig, blur) pairs, [1, H, W, 3]
         self.data_list = [
             (
-                jnp.asarray(pyramid.images[s])[None],
-                jnp.asarray(pyramid.recon_images[s])[None],
+                self._stage(jnp.asarray(pyramid.images[s])[None]),
+                self._stage(jnp.asarray(pyramid.recon_images[s])[None]),
             )
             for s in range(pyramid.n_scales)
         ]
         self._orig_p, self._blur_p, self._mask_p = (
-            jnp.asarray(a) for a in _stack_padded(pyramid)
+            self._stage(jnp.asarray(a)) for a in _stack_padded(pyramid)
         )
         # s ~ multinomial(num_timesteps_trained) — uniform under train_full_t
         # (reference trainer.py:193-197)
@@ -229,7 +235,9 @@ class MultiscaleTrainer:
             s = int(self._rng.choice(len(self._s_probs), p=self._s_probs))
         self.key, sub = jax.random.split(self.key)
         x_orig, x_blur = self.data_list[s]
-        self.state, loss = self._step_fn(self.state, x_orig, x_blur, sub, s)
+        self.state, loss = self._step_fn(
+            self.state, x_orig, x_blur, self._stage(sub), s
+        )
         return float(loss)
 
     # ------------------------------------------------------------------
@@ -408,7 +416,7 @@ class MultiscaleTrainer:
             self.key, sub = jax.random.split(self.key)
             x_orig, x_blur = self.data_list[int(s)]
             self.state, ls = self._scale_chunk_fn(
-                self.state, x_orig, x_blur, sub, int(s), int(k)
+                self.state, x_orig, x_blur, self._stage(sub), int(s), int(k)
             )
             losses.append(np.asarray(ls))
             self.running_scale.extend([int(s)] * int(k))
@@ -422,7 +430,8 @@ class MultiscaleTrainer:
         )
         self.key, sub = jax.random.split(self.key)
         self.state, losses, s_seq = self._chunk_fn(
-            self.state, self._orig_p, self._blur_p, self._mask_p, sub, n_steps
+            self.state, self._orig_p, self._blur_p, self._mask_p,
+            self._stage(sub), n_steps,
         )
         self.running_scale.extend(np.asarray(s_seq).tolist())
         return np.asarray(losses)
@@ -501,6 +510,10 @@ class MultiscaleTrainer:
             force=True,
         )
         ckptr.wait_until_finished()
+        if jax.process_index() != 0:
+            # multi-host: the orbax save above is collective (each process
+            # commits its addressable shards), host-side artifacts are not
+            return
         (self.results_folder / f"model-{milestone}.loss.json").write_text(
             json.dumps({"running_loss": self.running_loss})
         )
@@ -555,6 +568,21 @@ class MultiscaleTrainer:
             "ema": self.state.ema_params,
             "opt_state": self.state.opt_state,
         }
+        if self.mesh is not None:
+            # restore directly as global replicated arrays over the mesh
+            # (single- OR multi-process): an abstract template with a
+            # sharding makes orbax assemble the global array — the only
+            # correct path under multi-host, where a post-hoc device_put
+            # of process-local arrays cannot build a global array
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            template = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), x.dtype, sharding=repl
+                ),
+                template,
+            )
         restored = ckptr.restore(Path(path).absolute(), template)
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
@@ -562,15 +590,6 @@ class MultiscaleTrainer:
             ema_params=restored["ema"],
             opt_state=restored["opt_state"],
         )
-        if self.mesh is not None:
-            # orbax restores committed single-device arrays; a mesh-driven
-            # step needs them (re)replicated across the mesh or jit rejects
-            # the device mismatch
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P())
-            )
 
     # ------------------------------------------------------------------
     def ema_model_fn(self):
