@@ -48,7 +48,13 @@ def main() -> None:
                          "(OOM risk: ~13 GB folded dot operand)")
     ap.add_argument("--force_cpu", action="store_true")
     ap.add_argument("--pallas_only", action="store_true",
-                    help="run only the HIGHEST anchor + the pallas arm")
+                    help="run only the HIGHEST anchor + the pallas arms")
+    ap.add_argument("--win_only", action="store_true",
+                    help="run only the HIGHEST anchor + the windowed "
+                         "pallas kernel")
+    ap.add_argument("--win3_only", action="store_true",
+                    help="windowed kernel anchor + the bf16x3 split "
+                         "variant")
     args = ap.parse_args()
 
     import jax
@@ -141,16 +147,16 @@ def main() -> None:
         print(f"parity fold={fold} {precision}: max|dg|={d:.3e} "
               f"(max|g|={scale:.3e})", file=_sys.stderr)
 
-    def run_pallas(B, label):
-        """The fused VMEM kernel (ops/pallas_warp.py) at the same load."""
+    def run_pallas(B, label, impl="pallas"):
+        """A fused VMEM kernel (ops/pallas_warp.py) at the same load."""
         Wmod._MM_FOLD = False
         Wmod._MM_PRECISION = "highest"
         prev_impl = Wmod._WARP_IMPL
-        Wmod._WARP_IMPL = "pallas"
+        Wmod._WARP_IMPL = impl
         try:
             fn, x01 = make_warp_fb(B, mm=True)
             ms = timeit(fn, x01)
-            rec = dict(base, impl="pallas", batch=B, views=B * c,
+            rec = dict(base, impl=impl, batch=B, views=B * c,
                        warp_fb_ms=round(ms, 1), label=label)
             print(json.dumps(rec))
             _sys.stdout.flush()
@@ -164,10 +170,10 @@ def main() -> None:
             d = float(np.max(np.abs(g_p - g_ref)))
             scale = float(np.max(np.abs(g_ref)))
             print(json.dumps(dict(base, metric="warp_variant_parity",
-                                  impl="pallas", max_abs_grad_diff=d,
+                                  impl=impl, max_abs_grad_diff=d,
                                   max_abs_grad=scale)))
             _sys.stdout.flush()
-            print(f"parity pallas: max|dg|={d:.3e} (max|g|={scale:.3e})",
+            print(f"parity {impl}: max|dg|={d:.3e} (max|g|={scale:.3e})",
                   file=_sys.stderr)
         finally:
             Wmod._WARP_IMPL = prev_impl
@@ -177,6 +183,17 @@ def main() -> None:
     if args.pallas_only:
         run(False, "highest", Bf, "perchan-highest-full")  # anchor
         run_pallas(Bf, "pallas-full")
+        run_pallas(Bf, "pallas-win-full", impl="pallas_win")
+        return
+
+    if args.win_only:
+        run(False, "highest", Bf, "perchan-highest-full")  # anchor
+        run_pallas(Bf, "pallas-win-full", impl="pallas_win")
+        return
+
+    if args.win3_only:
+        run_pallas(Bf, "pallas-win-full", impl="pallas_win")    # anchor
+        run_pallas(Bf, "pallas-win3-full", impl="pallas_win3")
         return
 
     # baseline per-channel HIGHEST at both loads (anchors vs prior runs)
@@ -189,6 +206,7 @@ def main() -> None:
     if args.big_fold:
         run(True, "high", Bf, "fold-high-full")
     run_pallas(Bf, "pallas-full")
+    run_pallas(Bf, "pallas-win-full", impl="pallas_win")
 
     parity(False, "highest")
     parity(False, "high")

@@ -482,7 +482,9 @@ def run_clip_mode(
     )
     extractor = ClipExtractor(
         clip_model, clip_vars, n_aug=16,
+        view_chunk=getattr(args, "clip_view_chunk", 8) or None,
         warp_precision=getattr(args, "warp_precision", None),
+        warp_impl=getattr(args, "warp_impl", None),
     )
     n = pyramid.n_scales
     params = trainer.state.ema_params

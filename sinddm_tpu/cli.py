@@ -142,6 +142,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "'high' is ~28%% faster per warp but bf16-rate "
                         "(guidance-direction impact measured in "
                         "benchmarks/warp_high_guidance_eval.py)")
+    p.add_argument("--clip_view_chunk", type=int, default=8,
+                   help="guidance views encoded+differentiated per "
+                        "sequential chunk (0 = all at once). 8 is the "
+                        "measured optimum with the windowed Pallas warp "
+                        "(97.8 vs 107.1 s at 4; 16 OOMs HBM); drop to 4 "
+                        "if a large canvas falls back to the XLA matmul "
+                        "warp and OOMs")
+    p.add_argument("--warp_impl", default=None,
+                   choices=["mm", "pallas", "pallas_win"],
+                   help="guidance view-warp executor (default: auto — the "
+                        "windowed Pallas kernel on TPU when the source "
+                        "fits, else the XLA matmul path). 'mm' forces the "
+                        "XLA matmul path; see ops/pallas_warp.py for the "
+                        "measured comparison")
     p.add_argument("--bucketed_guidance", action="store_true",
                    help="run all guided via scales through ONE compiled "
                         "graph on the finest-scale canvas (clip_content "

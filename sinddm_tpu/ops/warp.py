@@ -44,8 +44,11 @@ _MM_PRECISION = os.environ.get("SINDDM_MM_PRECISION", "highest")
 # (the folded [N, W*C] intermediate must materialize as a dot operand).
 _MM_FOLD = os.environ.get("SINDDM_MM_FOLD", "0") != "0"
 
-# default warp implementation for GUIDANCE call sites only ('': the XLA
-# matmul path; 'pallas': the fused VMEM kernel in ops/pallas_warp.py).
+# default warp implementation for GUIDANCE call sites only ('': auto —
+# the windowed Pallas kernel on TPU when the source fits, else the XLA
+# matmul path; 'mm': force the XLA matmul path; 'pallas': the fused VMEM
+# kernel in ops/pallas_warp.py; 'pallas_win': its dynamic-128-row-window
+# variant — one MXU K-pass).
 # Module-level so benchmarks can flip it between traces, env for CLI-level
 # experiments. Scoped to mm_adjoint=True callers: like bilinear_sample_mm,
 # the pallas kernel zeroes the coords cotangent, so applying it to
@@ -260,14 +263,27 @@ def warp_homography(
     )
     if impl is None and mm_adjoint:
         impl = _WARP_IMPL or None
-    if impl == "pallas":
-        from sinddm_tpu.ops.pallas_warp import bilinear_sample_pallas
+        if impl is None and jax.default_backend() == "tpu":
+            # measured guidance default on the chip (warp_variants bench,
+            # 64-view f+b): windowed Pallas beats the XLA matmul path with
+            # grad parity ~1e-5; oversize sources fall back to XLA mm
+            from sinddm_tpu.ops.pallas_warp import pallas_win_supported
 
+            if pallas_win_supported(*img.shape):
+                impl = "pallas_win"
+    if impl == "mm":
+        impl = None  # explicit XLA-matmul opt-out (CLI --warp_impl mm)
+    if impl in ("pallas", "pallas_win", "pallas_win3"):
+        from sinddm_tpu.ops import pallas_warp
+
+        fn = {
+            "pallas": pallas_warp.bilinear_sample_pallas,
+            "pallas_win": pallas_warp.bilinear_sample_pallas_win,
+            "pallas_win3": pallas_warp.bilinear_sample_pallas_win3,
+        }[impl]
         # interpret mode off-TPU so the same code path is testable there
         # (the Mosaic kernel only compiles for TPU backends)
-        return bilinear_sample_pallas(
-            img, src, fill, jax.default_backend() != "tpu"
-        )
+        return fn(img, src, fill, jax.default_backend() != "tpu")
     if mm_adjoint:
         return bilinear_sample_mm(img, src, fill, precision)
     return bilinear_sample(img, src, fill=fill)
