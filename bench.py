@@ -167,8 +167,20 @@ def main() -> None:
 
         tmp = tempfile.mkdtemp(prefix="bench_train_")
         try:
+            # training defaults to fp32 (bf16 TRAIN quality is within noise
+            # but not provably neutral from one run — bf16_train_eval.json;
+            # measured there: 12.6 vs 11.0 steps/s). Override with
+            # SINDDM_BENCH_TRAIN_DTYPE=bfloat16.
+            train_dtype = os.environ.get("SINDDM_BENCH_TRAIN_DTYPE", "float32")
+            train_model = SinDDMNet(
+                dim=160,
+                compute_dtype=(
+                    jax.numpy.bfloat16 if train_dtype == "bfloat16"
+                    else jax.numpy.float32
+                ),
+            )
             tr = MultiscaleTrainer(
-                model, sched, pyr,
+                train_model, sched, pyr,
                 TrainConfig(train_batch_size=32, steps_per_chunk=250),
                 DiffusionConfig(), tmp,
             )
@@ -317,6 +329,7 @@ def main() -> None:
     }
     if train_sps is not None:
         out["train_steps_per_s"] = round(train_sps, 1)
+        out["train_dtype"] = train_dtype
         out["train_utilization"] = train_mfu
     if clip_guided is not None:
         out["clip_guided_vitb32"] = clip_guided
