@@ -272,7 +272,12 @@ def clip_sampling_bucketed(
         via_scales = list(range(1, n))
     else:
         # clip_style_trans: inject the training image at scale n-2
-        # (reference trainer.py:384-399); only the finest scale denoises
+        # (reference trainer.py:384-399); only the finest scale denoises.
+        # Burn one key split to mirror the per-scale walk, which splits
+        # once per plan step INCLUDING the inject step — the finest
+        # scale then consumes the same PRNG stream in both samplers
+        # (tested: test_bucketed_style_trans_injection_matches_per_scale)
+        key, _ = jax.random.split(key)
         start_img = jnp.broadcast_to(
             jnp.asarray(pyramid.images[n - 2], jnp.float32)[None],
             (sample_batch_size,) + pyramid.images[n - 2].shape,
