@@ -24,6 +24,8 @@ Env knobs (dev only; the driver runs plain `python bench.py`):
   SINDDM_BENCH_CLIP_DTYPE=float32 guided CLIP tower dtype (default bfloat16).
   SINDDM_BENCH_CLIP_VIEW_CHUNK=N  views per sequential guidance chunk
                                   (default 4; 0 = all at once, OOMs at B=16).
+  SINDDM_BENCH_CLIP_SAVE_DOTS=1   keep dot_general outputs as remat
+                                  residuals (elementwise-only tower replay).
   SINDDM_BENCH_CLIP_SEG_LEN=N     max scan steps per guided device call
                                   (default 13; 0 = whole chain in one call,
                                   which the tunneled worker kills at ~4 min).
@@ -231,8 +233,10 @@ def main() -> None:
         # buffers) 8-view chunks fit and measure 97.8 s vs 107.1 s at 4
         # (benchmarks, round 4); 16 still OOMs HBM by 5 GB
         view_chunk = int(os.environ.get("SINDDM_BENCH_CLIP_VIEW_CHUNK", "8"))
+        save_dots = os.environ.get("SINDDM_BENCH_CLIP_SAVE_DOTS", "0") == "1"
         extractor = ClipExtractor(
-            clip_model, clip_vars, n_aug=16, view_chunk=view_chunk or None
+            clip_model, clip_vars, n_aug=16, view_chunk=view_chunk or None,
+            save_dots=save_dots,
         )
         # seg_len=13: bounds each guided device call to ~1 min at batch 16
         # (the tunneled worker kills ~4-min calls mid-run)

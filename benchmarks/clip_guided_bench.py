@@ -47,6 +47,9 @@ def main() -> None:
                     help="bucketed only: split each scale's chain into "
                          "device calls of <= seg_len steps (0 = one call; "
                          "the tunneled worker kills multi-minute calls)")
+    ap.add_argument("--save_dots", action="store_true",
+                    help="save dot_general outputs as remat residuals "
+                         "(elementwise-only tower replay)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip_unguided", action="store_true")
     ap.add_argument("--t_list", type=int, nargs="+", default=None,
@@ -91,7 +94,7 @@ def main() -> None:
     clip_model, clip_vars = random_clip_params(cfg, seed=0)
     extractor = ClipExtractor(
         clip_model, clip_vars, n_aug=args.n_aug,
-        view_chunk=args.view_chunk or None,
+        view_chunk=args.view_chunk or None, save_dots=args.save_dots,
     )
     n_params = sum(x.size for x in jax.tree.leaves(clip_vars))
     print(
@@ -151,6 +154,7 @@ def main() -> None:
         "precompile": bool(args.precompile),
         "bucketed": bool(args.bucketed),
         "view_chunk": args.view_chunk,
+        "save_dots": bool(args.save_dots),
         "seg_len": args.seg_len,
         "cold_s": round(cold_s, 1),
         "warm_s": guided_warm,

@@ -247,7 +247,7 @@ class ClipExtractor:
     def __init__(self, model: CLIPModel, variables, n_aug: int = 16,
                  affine_fill: float = 1.0, remat: bool = True,
                  view_chunk: "int | None" = 4, mm_adjoint: bool = True,
-                 save_views: bool = True,
+                 save_views: bool = True, save_dots: bool = False,
                  warp_precision: "str | None" = None,
                  warp_impl: "str | None" = None):
         self.model = model
@@ -273,6 +273,12 @@ class ClipExtractor:
         # keep the named view tensors as remat residuals (see
         # embed_image_views) so the backward never re-runs the warp
         self.save_views = save_views
+        # additionally save every dot_general output (plus the named
+        # post-patchify tokens) as residuals: the remat replay then skips
+        # the ViT's matmuls and re-runs only elementwise ops — trades
+        # ~1.3 GB/chunk of bf16 residuals (B16, 8-view chunks) for the
+        # tower's whole re-forward matmul cost
+        self.save_dots = save_dots
         # MXU precision of the warp matmuls: None = fp32-exact default;
         # "high" trades ~5% max guidance-gradient error for ~28% faster
         # warps (measured: benchmarks/warp_high_guidance_eval.py)
@@ -371,11 +377,23 @@ class ClipExtractor:
             # custom VJP needs only (img, coords), both cheap to rebuild
             policy = (
                 jax.checkpoint_policies.save_only_these_names(
-                    "warp_out", "clip_views"
+                    "warp_out", "clip_views", "vit_patches"
                 )
                 if self.save_views
                 else None
             )
+            if self.save_dots:
+                # also keep every dot_general output: the backward's tower
+                # replay becomes elementwise-only (LN/gelu/softmax), no
+                # matmuls — see save_dots in __init__
+                dots = jax.checkpoint_policies.dots_saveable
+                policy = (
+                    jax.checkpoint_policies.save_from_both_policies(
+                        policy, dots
+                    )
+                    if policy is not None
+                    else dots
+                )
             encode_chunk = jax.checkpoint(encode_chunk, policy=policy)
 
         idxs = jnp.arange(n_aug)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +189,10 @@ class VisionTransformer(nn.Module):
             padding="VALID", dtype=cfg.vision_dtype,
             name="conv1",  # torch Conv2d: no padding
         )(x)
+        # named remat residual: guidance's save_only_these_names policy
+        # keeps the post-patchify tokens so a backward replay never
+        # re-runs conv1 (guidance/clip_extractor.embed_image_views)
+        x = checkpoint_name(x, "vit_patches")
         x = x.astype(jnp.float32)
         x = x.reshape(B, -1, cfg.vision_width)  # [B, Hp*Wp, width]
         cls = self.param(

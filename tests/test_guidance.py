@@ -179,6 +179,35 @@ def test_save_views_remat_policy_grad_matches(tiny_extractor):
     )
 
 
+def test_save_dots_remat_policy_grad_matches(tiny_extractor):
+    """save_dots (keep every dot_general output as a remat residual so the
+    tower replay is elementwise-only) is also a scheduling change only —
+    loss value and gradient must match the default named-residual path."""
+    x01 = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(29), (2, 26, 34, 3)), 0, 1
+    )
+    key = jax.random.PRNGKey(30)
+    text = jax.random.normal(
+        jax.random.PRNGKey(31), (5, tiny_extractor.model.cfg.embed_dim)
+    )
+
+    vals, grads = {}, {}
+    for sd in (False, True):
+        ex = ClipExtractor(
+            tiny_extractor.model, tiny_extractor.variables,
+            n_aug=4, view_chunk=2, save_dots=sd,
+        )
+        vals[sd], grads[sd] = jax.value_and_grad(
+            lambda x: ex.calculate_clip_loss(x, text, key)
+        )(x01)
+    np.testing.assert_allclose(float(vals[True]), float(vals[False]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads[True]), np.asarray(grads[False]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_thresholded_grad_quantile_semantics():
     rng = np.random.default_rng(0)
     grad = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
