@@ -26,6 +26,8 @@ Env knobs (dev only; the driver runs plain `python bench.py`):
                                   (default 4; 0 = all at once, OOMs at B=16).
   SINDDM_BENCH_CLIP_SAVE_DOTS=1   keep dot_general outputs as remat
                                   residuals (elementwise-only tower replay).
+  SINDDM_BENCH_TRAIN_DTYPE=float32 train-section compute dtype (default
+                                  bfloat16; two-seed quality-neutral).
   SINDDM_BENCH_CLIP_SEG_LEN=N     max scan steps per guided device call
                                   (default 13; 0 = whole chain in one call,
                                   which the tunneled worker kills at ~4 min).
@@ -169,11 +171,14 @@ def main() -> None:
 
         tmp = tempfile.mkdtemp(prefix="bench_train_")
         try:
-            # training defaults to fp32 (bf16 TRAIN quality is within noise
-            # but not provably neutral from one run — bf16_train_eval.json;
-            # measured there: 12.6 vs 11.0 steps/s). Override with
-            # SINDDM_BENCH_TRAIN_DTYPE=bfloat16.
-            train_dtype = os.environ.get("SINDDM_BENCH_TRAIN_DTYPE", "float32")
+            # bfloat16 training is the headline: quality-neutral across two
+            # seeds (bf16_train_eval.json seed 0: 0.203 vs 0.177;
+            # _seed2.json seed 1: 0.162 vs 0.191 — per-dtype ranges fully
+            # overlap, seed noise > dtype gap) and ~27% faster (15.0 vs
+            # 11.8 steps/s, bench_r4b_prelim). SINDDM_BENCH_TRAIN_DTYPE=
+            # float32 restores the parity mode (still the CLI default).
+            train_dtype = os.environ.get("SINDDM_BENCH_TRAIN_DTYPE",
+                                         "bfloat16")
             train_model = SinDDMNet(
                 dim=160,
                 compute_dtype=(
