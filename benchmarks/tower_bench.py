@@ -66,9 +66,12 @@ def main() -> None:
     flops_fb = 3 * vit_b32_flops((R, R)) * B
 
     def make_fn(policy):
-        def encode(xx):
+        # the tower weights are a TRACED argument: closing over them bakes
+        # ~600 MB of constants into the HLO, which the remote compile
+        # service rejects (HTTP 413) — same rule as embed_image_views
+        def encode(xx, tower):
             emb = model.apply(
-                variables, clip_normalize(xx), method=model.encode_image
+                tower, clip_normalize(xx), method=model.encode_image
             )
             return (emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)).mean()
 
@@ -92,7 +95,7 @@ def main() -> None:
     for policy in args.policies:
         fn = make_fn(policy)
         try:
-            g = fn(x)
+            g = fn(x, variables)
             float(g.sum())  # sync (block_until_ready returns at enqueue)
         except Exception as e:  # OOM etc. — record and continue
             print(json.dumps({
@@ -103,7 +106,7 @@ def main() -> None:
             continue
         t0 = time.time()
         for _ in range(args.iters):
-            g = fn(x)
+            g = fn(x, variables)
         float(g.sum())
         dt = (time.time() - t0) / args.iters
         print(json.dumps({

@@ -55,6 +55,9 @@ def main() -> None:
     ap.add_argument("--win3_only", action="store_true",
                     help="windowed kernel anchor + the bf16x3 split "
                          "variant")
+    ap.add_argument("--winx_only", action="store_true",
+                    help="windowed kernel anchor + the transposed-"
+                         "reduction forward variant")
     args = ap.parse_args()
 
     import jax
@@ -194,6 +197,11 @@ def main() -> None:
     if args.win3_only:
         run_pallas(Bf, "pallas-win-full", impl="pallas_win")    # anchor
         run_pallas(Bf, "pallas-win3-full", impl="pallas_win3")
+        return
+
+    if args.winx_only:
+        run_pallas(Bf, "pallas-win-full", impl="pallas_win")    # anchor
+        run_pallas(Bf, "pallas-winx-full", impl="pallas_winx")
         return
 
     # baseline per-channel HIGHEST at both loads (anchors vs prior runs)

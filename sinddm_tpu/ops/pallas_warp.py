@@ -461,6 +461,129 @@ bilinear_sample_pallas_win.defvjp(_fwd_rule_win, _bwd_rule_win)
 
 
 # ---------------------------------------------------------------------------
+# winx: transposed-reduction windowed forward
+# ---------------------------------------------------------------------------
+#
+# The windowed kernel is VPU-bound (NOTES r4): after the MXU contraction
+# the forward reduces slab*B over W lanes per channel — C x [TQ, W]
+# multiply+reduce elements (W = 224..320 at guidance shapes). This
+# variant contracts x FIRST on the MXU (R_c = window_c @ B^T, exact same
+# MACs, contraction over W instead of WY) and reduces A^T * R_c over the
+# 128-row window axis instead: the multiply+reduce shrinks to
+# C x [WY=128, TQ] elements — a W/WY ~= 1.75-2.5x cut of the kernel's
+# largest VPU term. Arithmetic is the same fp32 HIGHEST tap math, only
+# the summation order changes (parity within fp noise). The backward is
+# shared with the windowed kernel (already MXU-contracted over TQ).
+
+
+def _win_kernel_common_t(xs_ref, ys_ref, H, HP, W):
+    """Transposed tap construction: AT [WY, TQ], BT [W, TQ]."""
+    x = xs_ref[0, :]
+    y = ys_ref[0, :]
+    yc = jnp.clip(y, -1.0, float(H))
+    o = jnp.floor(jnp.min(yc)).astype(jnp.int32)
+    o = jnp.clip(o, 0, HP - _WY)
+    o = (o // 8) * 8
+    o = pl.multiple_of(o, 8)
+    hi = jnp.floor(jnp.max(yc)).astype(jnp.int32) + 1
+    overflow = hi > o + (_WY - 1)
+
+    yi = jax.lax.broadcasted_iota(jnp.int32, (_WY, _TQ_WIN), 0) + o
+    AT = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[None, :] - yi.astype(jnp.float32))
+    )
+    AT = AT * (yi < H).astype(jnp.float32)
+    o2 = HP - _WY
+    yi2 = jax.lax.broadcasted_iota(jnp.int32, (_WY, _TQ_WIN), 0) + o2
+    AT2 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[None, :] - yi2.astype(jnp.float32))
+    )
+    AT2 = AT2 * ((yi2 < H) & (yi2 >= o + _WY)).astype(jnp.float32)
+
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, _TQ_WIN), 0).astype(
+        jnp.float32
+    )
+    BT = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - wi))  # [W, TQ]
+    return o, overflow, AT, AT2, BT
+
+
+def _fwd_kernel_winx(xs_ref, ys_ref, img_ref, out_ref, cover_ref, *, H, W,
+                     C, HP):
+    o, overflow, AT, AT2, BT = _win_kernel_common_t(
+        xs_ref, ys_ref, H, HP, W
+    )
+    cover_ref[0, :] = (
+        jnp.sum(AT, axis=0) + jnp.sum(AT2, axis=0)
+    ) * jnp.sum(BT, axis=0)
+    for c in range(C):
+        r = jnp.dot(
+            img_ref[0, c, pl.ds(o, _WY), :], BT,
+            preferred_element_type=jnp.float32, precision=_PREC_FWD,
+        )  # [WY, TQ]
+        out_ref[0, c, :] = jnp.sum(AT * r, axis=0)
+
+    @pl.when(overflow)
+    def _():
+        for c in range(C):
+            r2 = jnp.dot(
+                img_ref[0, c, HP - _WY:, :], BT,
+                preferred_element_type=jnp.float32, precision=_PREC_FWD,
+            )
+            out_ref[0, c, :] += jnp.sum(AT2 * r2, axis=0)
+
+
+def _forward_winx(img, coords, fill, interpret=False):
+    H, W, C = img.shape
+    _check_win(H, W, C)
+    HP = _pad_rows(H)
+    xs, ys, n = _prep_coords(coords, _TQ_WIN)
+    n_pad = xs.shape[1]
+    imgs = jnp.moveaxis(img.astype(jnp.float32), -1, 0)[None]  # [1, C, H, W]
+    if HP != H:
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
+    out, cover = pl.pallas_call(
+        functools.partial(_fwd_kernel_winx, H=H, W=W, C=C, HP=HP),
+        grid=(n_pad // _TQ_WIN,),
+        in_specs=[
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+            pl.BlockSpec((1, C, HP, W), lambda q: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, _TQ_WIN), lambda q: (0, 0, q)),
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, C, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs, ys, imgs)
+    val = jnp.moveaxis(out[0, :, :n], 0, -1)  # [n, C]
+    val = val + (1.0 - cover[0, :n, None]) * jnp.asarray(fill, jnp.float32)
+    return val.reshape(coords.shape[:-1] + (C,)).astype(img.dtype), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_pallas_winx(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`bilinear_sample_pallas_win` with a transposed forward
+    reduction (same math, less VPU lane work); shared windowed backward."""
+    out, _ = _forward_winx(img, coords, fill, interpret)
+    return out
+
+
+def _fwd_rule_winx(img, coords, fill, interpret):
+    out, _ = _forward_winx(img, coords, fill, interpret)
+    return out, (img, coords)
+
+
+bilinear_sample_pallas_winx.defvjp(_fwd_rule_winx, _bwd_rule_win)
+
+
+# ---------------------------------------------------------------------------
 # split3: manual bf16x3 dots inside the windowed kernel
 # ---------------------------------------------------------------------------
 #
