@@ -264,13 +264,16 @@ def warp_homography(
     if impl is None and mm_adjoint:
         impl = _WARP_IMPL or None
         if impl is None and jax.default_backend() == "tpu":
-            # measured guidance default on the chip (warp_variants bench,
-            # 64-view f+b): windowed Pallas beats the XLA matmul path with
-            # grad parity ~1e-5; oversize sources fall back to XLA mm
+            # measured guidance default on the chip (warp_variants bench):
+            # windowed Pallas beats the XLA matmul path, and the
+            # transposed-reduction forward (winx) beats the windowed
+            # kernel 232.7 vs 252.6 ms per 128-view f+b chunk with the
+            # same ~3e-5 grad parity (benchmarks/warp_variants_r4_winx
+            # .jsonl); oversize sources fall back to XLA mm
             from sinddm_tpu.ops.pallas_warp import pallas_win_supported
 
             if pallas_win_supported(*img.shape):
-                impl = "pallas_win"
+                impl = "pallas_winx"
     if impl == "mm":
         impl = None  # explicit XLA-matmul opt-out (CLI --warp_impl mm)
     if impl in ("pallas", "pallas_win", "pallas_winx", "pallas_win3"):
