@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--winx_only", action="store_true",
                     help="windowed kernel anchor + the transposed-"
                          "reduction forward variant")
+    ap.add_argument("--winb_only", action="store_true",
+                    help="winx anchor + the channel-batched-dot variant")
     args = ap.parse_args()
 
     import jax
@@ -202,6 +204,11 @@ def main() -> None:
     if args.winx_only:
         run_pallas(Bf, "pallas-win-full", impl="pallas_win")    # anchor
         run_pallas(Bf, "pallas-winx-full", impl="pallas_winx")
+        return
+
+    if args.winb_only:
+        run_pallas(Bf, "pallas-winx-full", impl="pallas_winx")  # anchor
+        run_pallas(Bf, "pallas-winb-full", impl="pallas_winb")
         return
 
     # baseline per-channel HIGHEST at both loads (anchors vs prior runs)

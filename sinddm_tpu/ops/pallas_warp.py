@@ -584,6 +584,101 @@ bilinear_sample_pallas_winx.defvjp(_fwd_rule_winx, _bwd_rule_win)
 
 
 # ---------------------------------------------------------------------------
+# winb: winx with the C per-channel dots batched into one MXU call
+# ---------------------------------------------------------------------------
+#
+# Same math as winx; the C (=3) [WY, W] x [W, TQ] contractions per tile
+# become one [C*WY, W] x [W, TQ] dot (channel windows concatenated along
+# the sublane axis), amortizing the MXU dispatch. The A^T reduce stays
+# per-channel on static slices. Expected small (NOTES r4).
+
+
+def _fwd_kernel_winb(xs_ref, ys_ref, img_ref, out_ref, cover_ref, *, H, W,
+                     C, HP):
+    o, overflow, AT, AT2, BT = _win_kernel_common_t(
+        xs_ref, ys_ref, H, HP, W
+    )
+    cover_ref[0, :] = (
+        jnp.sum(AT, axis=0) + jnp.sum(AT2, axis=0)
+    ) * jnp.sum(BT, axis=0)
+    win = jnp.concatenate(
+        [img_ref[0, c, pl.ds(o, _WY), :] for c in range(C)], axis=0
+    )  # [C*WY, W]
+    r = jnp.dot(
+        win, BT, preferred_element_type=jnp.float32, precision=_PREC_FWD,
+    )  # [C*WY, TQ]
+    for c in range(C):
+        out_ref[0, c, :] = jnp.sum(
+            AT * r[c * _WY:(c + 1) * _WY, :], axis=0
+        )
+
+    @pl.when(overflow)
+    def _():
+        win2 = jnp.concatenate(
+            [img_ref[0, c, HP - _WY:, :] for c in range(C)], axis=0
+        )
+        r2 = jnp.dot(
+            win2, BT, preferred_element_type=jnp.float32,
+            precision=_PREC_FWD,
+        )
+        for c in range(C):
+            out_ref[0, c, :] += jnp.sum(
+                AT2 * r2[c * _WY:(c + 1) * _WY, :], axis=0
+            )
+
+
+def _forward_winb(img, coords, fill, interpret=False):
+    H, W, C = img.shape
+    _check_win(H, W, C)
+    HP = _pad_rows(H)
+    xs, ys, n = _prep_coords(coords, _TQ_WIN)
+    n_pad = xs.shape[1]
+    imgs = jnp.moveaxis(img.astype(jnp.float32), -1, 0)[None]
+    if HP != H:
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
+    out, cover = pl.pallas_call(
+        functools.partial(_fwd_kernel_winb, H=H, W=W, C=C, HP=HP),
+        grid=(n_pad // _TQ_WIN,),
+        in_specs=[
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+            pl.BlockSpec((1, C, HP, W), lambda q: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, _TQ_WIN), lambda q: (0, 0, q)),
+            pl.BlockSpec((1, _TQ_WIN), lambda q: (0, q)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, C, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs, ys, imgs)
+    val = jnp.moveaxis(out[0, :, :n], 0, -1)
+    val = val + (1.0 - cover[0, :n, None]) * jnp.asarray(fill, jnp.float32)
+    return val.reshape(coords.shape[:-1] + (C,)).astype(img.dtype), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_pallas_winb(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`bilinear_sample_pallas_winx` with the per-channel window
+    dots batched into one MXU contraction; shared windowed backward."""
+    out, _ = _forward_winb(img, coords, fill, interpret)
+    return out
+
+
+def _fwd_rule_winb(img, coords, fill, interpret):
+    out, _ = _forward_winb(img, coords, fill, interpret)
+    return out, (img, coords)
+
+
+bilinear_sample_pallas_winb.defvjp(_fwd_rule_winb, _bwd_rule_win)
+
+
+# ---------------------------------------------------------------------------
 # split3: manual bf16x3 dots inside the windowed kernel
 # ---------------------------------------------------------------------------
 #

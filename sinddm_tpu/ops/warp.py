@@ -276,13 +276,14 @@ def warp_homography(
                 impl = "pallas_winx"
     if impl == "mm":
         impl = None  # explicit XLA-matmul opt-out (CLI --warp_impl mm)
-    if impl in ("pallas", "pallas_win", "pallas_winx", "pallas_win3"):
+    if impl in ("pallas", "pallas_win", "pallas_winx", "pallas_winb", "pallas_win3"):
         from sinddm_tpu.ops import pallas_warp
 
         fn = {
             "pallas": pallas_warp.bilinear_sample_pallas,
             "pallas_win": pallas_warp.bilinear_sample_pallas_win,
             "pallas_winx": pallas_warp.bilinear_sample_pallas_winx,
+            "pallas_winb": pallas_warp.bilinear_sample_pallas_winb,
             "pallas_win3": pallas_warp.bilinear_sample_pallas_win3,
         }[impl]
         # interpret mode off-TPU so the same code path is testable there

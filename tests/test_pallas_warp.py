@@ -18,6 +18,7 @@ import pytest
 from sinddm_tpu.ops.pallas_warp import (
     bilinear_sample_pallas,
     bilinear_sample_pallas_win,
+    bilinear_sample_pallas_winb,
     bilinear_sample_pallas_winx,
 )
 from sinddm_tpu.ops.warp import bilinear_sample
@@ -26,6 +27,7 @@ KERNELS = {
     "fused": bilinear_sample_pallas,
     "windowed": bilinear_sample_pallas_win,
     "windowed_t": bilinear_sample_pallas_winx,
+    "windowed_b": bilinear_sample_pallas_winb,
 }
 
 
