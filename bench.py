@@ -18,12 +18,26 @@ The model is the reference-default denoiser (dim=160); random-init EMA
 weights time identically to trained ones. Compile time is excluded (one
 warm-up run per computation); compile and extra stats go to stderr.
 
+Resilience contract (round 5): the JSON line is printed INCREMENTALLY —
+first as soon as the headline + per-scale + MFU exist, then re-printed
+(enriched) after the train section and after the guided section. A
+consumer that takes the *last parseable line* always gets the maximum
+information captured before any external kill; a consumer that takes the
+first gets the headline. A coarse wall-clock budget (default 3000 s,
+`SINDDM_BENCH_BUDGET_S`) skips the train/guided sections with a stderr
+note instead of letting a cold compile service run the process into an
+external timeout mid-section (round 4's official capture died that way:
+rc=124, no JSON).
+
 Env knobs (dev only; the driver runs plain `python bench.py`):
+  SINDDM_BENCH_BUDGET_S=N         coarse wall-clock budget in seconds
+                                  (default 3000; sections that cannot
+                                  finish within it are skipped).
   SINDDM_BENCH_SKIP_TRAIN=1       skip the train-throughput section.
   SINDDM_BENCH_SKIP_CLIP=1        skip the ViT-B/32 guided section.
   SINDDM_BENCH_CLIP_DTYPE=float32 guided CLIP tower dtype (default bfloat16).
   SINDDM_BENCH_CLIP_VIEW_CHUNK=N  views per sequential guidance chunk
-                                  (default 4; 0 = all at once, OOMs at B=16).
+                                  (default 8; 0 = all at once, OOMs at B=16).
   SINDDM_BENCH_CLIP_SAVE_DOTS=1   keep dot_general outputs as remat
                                   residuals (elementwise-only tower replay).
   SINDDM_BENCH_TRAIN_DTYPE=float32 train-section compute dtype (default
@@ -44,6 +58,12 @@ import time
 def main() -> None:
     import jax
     import numpy as np
+
+    t_start = time.time()
+    budget_s = float(os.environ.get("SINDDM_BENCH_BUDGET_S", "3000"))
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
 
     from sinddm_tpu import build_pyramid, make_schedules
     from sinddm_tpu.apps import sample_scales
@@ -159,10 +179,44 @@ def main() -> None:
         }
     print(f"per-scale: {per_scale}", file=sys.stderr)
 
+    # ---- incremental JSON: headline is safe from this point on ----------
+    # Every subsequent section enriches `out` and re-prints it; the last
+    # parseable stdout line always carries everything captured so far.
+    ref = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "ref_cpu.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+
+    out = {
+        "metric": "full_pyramid_sample_batch16_balloons",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / value, 2),
+        "dtype": bench_dtype,
+        "utilization": sample_mfu,
+        "per_scale_sample": per_scale,
+    }
+    if ref is not None:
+        ref_s = ref["full_pyramid_sample_batch16_balloons_s"]
+        out["ref_cpu_sample_s"] = ref_s
+        out["speedup_vs_ref_cpu_sample"] = round(ref_s / value, 1)
+
+    def emit() -> None:
+        print(json.dumps(out), flush=True)
+
+    emit()
+
     # ---- train throughput (fused grouped chunks, reference shape) -------
     train_sps = None
     train_mfu = None
-    if not os.environ.get("SINDDM_BENCH_SKIP_TRAIN"):
+    # ~60 s warm-service budget for the train section; a cold compile
+    # service can take many minutes, so guard generously.
+    if remaining() < 240:
+        print(f"budget: skipping train section ({remaining():.0f}s left "
+              f"of {budget_s:.0f})", file=sys.stderr)
+    elif not os.environ.get("SINDDM_BENCH_SKIP_TRAIN"):
         import shutil
         import tempfile
 
@@ -206,8 +260,22 @@ def main() -> None:
             )
             print(f"train {train_sps:.1f} steps/s MFU: {train_mfu}",
                   file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — deliberate best-effort
+            train_sps = None
+            print(f"train section failed (non-fatal): {e!r}", file=sys.stderr)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    if train_sps is not None:
+        out["train_steps_per_s"] = round(train_sps, 1)
+        out["train_dtype"] = train_dtype
+        out["train_utilization"] = train_mfu
+        if ref is not None and ref.get("train_steps_per_s"):
+            out["ref_cpu_train_steps_per_s"] = ref["train_steps_per_s"]
+            out["speedup_vs_ref_cpu_train"] = round(
+                train_sps / ref["train_steps_per_s"], 1
+            )
+        emit()
 
     # ---- guided sampling at real ViT-B/32 shape (weights-free) ----------
     # VERDICT r2 missing #1: the guided stack's cost is dominated by 16
@@ -220,7 +288,13 @@ def main() -> None:
     # and still print the one-line JSON.
     clip_guided = None
     try:
-      if not os.environ.get("SINDDM_BENCH_SKIP_CLIP"):
+      if remaining() < 600:
+        # Guided cold is ~225-280 s on a warm compile service and far more
+        # on a cold one; entering it with less than 600 s of budget is how
+        # round 4's capture died (rc=124 mid-section, no JSON printed).
+        print(f"budget: skipping guided section ({remaining():.0f}s left "
+              f"of {budget_s:.0f})", file=sys.stderr)
+      elif not os.environ.get("SINDDM_BENCH_SKIP_CLIP"):
         import dataclasses
 
         from sinddm_tpu.apps.clip_apps import clip_sampling
@@ -266,8 +340,11 @@ def main() -> None:
         guided_cold = time.time() - t0
         print(f"clip-guided cold (incl. compile) {guided_cold:.1f}s",
               file=sys.stderr)
+        # One warm repeat: three committed r4 runs show <2% spread
+        # (benchmarks/guided_r4_in_context.jsonl), and the second repeat
+        # is what pushed round 4's capture past the driver timeout.
         gtimes = []
-        for i in range(2):
+        for i in range(1):
             t0 = time.time()
             run_guided(i + 1)
             gtimes.append(time.time() - t0)
@@ -319,39 +396,11 @@ def main() -> None:
         print(f"clip-guided section failed (non-fatal): {e!r}",
               file=sys.stderr)
 
-    # ---- reference-CPU comparison (measured on this host, committed) ----
-    ref = None
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "ref_cpu.json")
-    if os.path.exists(ref_path):
-        with open(ref_path) as f:
-            ref = json.load(f)
-
-    out = {
-        "metric": "full_pyramid_sample_batch16_balloons",
-        "value": round(value, 4),
-        "unit": "s",
-        "vs_baseline": round(5.0 / value, 2),
-        "dtype": bench_dtype,
-        "utilization": sample_mfu,
-        "per_scale_sample": per_scale,
-    }
-    if train_sps is not None:
-        out["train_steps_per_s"] = round(train_sps, 1)
-        out["train_dtype"] = train_dtype
-        out["train_utilization"] = train_mfu
+    # Final enriched emit — `out` already carries headline (+train if it
+    # ran); add the guided section and re-print so the last line wins.
     if clip_guided is not None:
         out["clip_guided_vitb32"] = clip_guided
-    if ref is not None:
-        ref_s = ref["full_pyramid_sample_batch16_balloons_s"]
-        out["ref_cpu_sample_s"] = ref_s
-        out["speedup_vs_ref_cpu_sample"] = round(ref_s / value, 1)
-        if train_sps is not None and ref.get("train_steps_per_s"):
-            out["ref_cpu_train_steps_per_s"] = ref["train_steps_per_s"]
-            out["speedup_vs_ref_cpu_train"] = round(
-                train_sps / ref["train_steps_per_s"], 1
-            )
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == "__main__":

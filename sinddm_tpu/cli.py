@@ -150,16 +150,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "if a large canvas falls back to the XLA matmul "
                         "warp and OOMs")
     p.add_argument("--warp_impl", default=None,
-                   choices=["mm", "pallas", "pallas_win"],
-                   help="guidance view-warp executor (default: auto — the "
-                        "windowed Pallas kernel on TPU when the source "
-                        "fits, else the XLA matmul path). 'mm' forces the "
-                        "XLA matmul path; see ops/pallas_warp.py for the "
-                        "measured comparison")
+                   choices=["mm", "pallas", "pallas_win", "pallas_winx",
+                            "pallas_winb"],
+                   help="guidance view-warp executor (default: auto — "
+                        "'pallas_winx', the transposed-reduction windowed "
+                        "Pallas kernel, on TPU when the source fits, else "
+                        "the XLA matmul path). 'mm' forces the XLA matmul "
+                        "path; 'pallas_win'/'pallas_winb' are the plain / "
+                        "channel-batched windowed variants; see "
+                        "ops/pallas_warp.py for the measured comparison")
     p.add_argument("--bucketed_guidance", action="store_true",
                    help="run all guided via scales through ONE compiled "
-                        "graph on the finest-scale canvas (clip_content "
-                        "only; cuts guided cold-start compiles from "
+                        "graph on the finest-scale canvas (all four CLIP "
+                        "modes, incl. style-trans injection, under any "
+                        "mesh; cuts guided cold-start compiles from "
                         "n_scales to 2)")
     p.add_argument("--guidance_seg_len", type=int, default=0,
                    help="with --bucketed_guidance: cap each device call "
@@ -176,13 +180,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.profile:
-        from sinddm_tpu.utils.profiling import trace
-
-        with trace(args.profile):
-            _run(args)
-        print(f"profiler trace written to {args.profile}")
-        return
     _run(args)
 
 
@@ -196,10 +193,24 @@ def _run(args) -> None:
         process_id=args.process_id,
     )
 
+    if args.profile:
+        # the trace context may touch the backend, so it must start AFTER
+        # jax.distributed.initialize for --profile + multi-host runs
+        from sinddm_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            _run_modes(args)
+        print(f"profiler trace written to {args.profile}")
+        return
+    _run_modes(args)
+
+
+def _run_modes(args) -> None:
     import jax
     import jax.numpy as jnp
 
     from sinddm_tpu.apps.sampling import sample_scales
+    from sinddm_tpu.parallel import distributed as dist
     from sinddm_tpu.config import DiffusionConfig, TrainConfig
     from sinddm_tpu.models import SinDDMNet
     from sinddm_tpu.ops.image_io import save_image

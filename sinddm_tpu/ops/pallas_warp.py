@@ -365,8 +365,10 @@ def _check_win(H: int, W: int, C: int) -> None:
     # overflow tiles put rows [o + WY, HP) in window 2 = [HP - WY, HP);
     # coverage for the worst case o = 0 requires HP <= 2 * WY
     if _pad_rows(H) > 2 * _WY:
+        # real bound: _pad_rows(H) = max(8-aligned H, WY) <= 2*WY,
+        # i.e. H may be anything up to 2*WY (= 256) exactly
         raise ValueError(
-            f"bilinear_sample_pallas_win: source H={H} > {2 * _WY - 7} "
+            f"bilinear_sample_pallas_win: source H={H} > {2 * _WY} "
             "rows — a single overflow window cannot cover the remainder; "
             "use bilinear_sample_pallas or the XLA matmul path."
         )
@@ -789,8 +791,21 @@ def bilinear_sample_pallas_win3(
 ) -> jnp.ndarray:
     """:func:`bilinear_sample_pallas_win` with manual bf16x3 dots.
 
-    ~1e-5 relative error vs the fp32-exact kernels, half the MXU passes.
+    MEASURED BROKEN ON REAL TPU — interpret-mode-only parity. The bf16x3
+    splitting has a ~1e-5 theoretical bound and matches in interpret mode
+    (2e-3), but through Mosaic the on-device gradient error is 24%
+    (max|dg| 7.43 on max|g| 30.4; see the negative-result block above).
+    Kept as an experiment record; selecting it on a TPU backend warns.
     """
+    if not interpret:
+        import warnings
+
+        warnings.warn(
+            "bilinear_sample_pallas_win3 has a measured 24% on-device "
+            "gradient error through Mosaic (interpret-mode parity only); "
+            "use pallas_winx instead.",
+            stacklevel=2,
+        )
     out, _ = _forward_win3(img, coords, fill, interpret)
     return out
 
