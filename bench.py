@@ -23,15 +23,17 @@ first as soon as the headline + per-scale + MFU exist, then re-printed
 (enriched) after the train section and after the guided section. A
 consumer that takes the *last parseable line* always gets the maximum
 information captured before any external kill; a consumer that takes the
-first gets the headline. A coarse wall-clock budget (default 3000 s,
+first gets the headline. A coarse wall-clock budget (default 1380 s,
 `SINDDM_BENCH_BUDGET_S`) skips the train/guided sections with a stderr
 note instead of letting a cold compile service run the process into an
 external timeout mid-section (round 4's official capture died that way:
-rc=124, no JSON).
+rc=124, no JSON, killed ~1340-1530 s in — so the driver timeout is
+~1440-1500 s and the default budget sits just under it; raise the env
+var for unconstrained validation runs).
 
 Env knobs (dev only; the driver runs plain `python bench.py`):
   SINDDM_BENCH_BUDGET_S=N         coarse wall-clock budget in seconds
-                                  (default 3000; sections that cannot
+                                  (default 1380; sections that cannot
                                   finish within it are skipped).
   SINDDM_BENCH_SKIP_TRAIN=1       skip the train-throughput section.
   SINDDM_BENCH_SKIP_CLIP=1        skip the ViT-B/32 guided section.
@@ -60,7 +62,7 @@ def main() -> None:
     import numpy as np
 
     t_start = time.time()
-    budget_s = float(os.environ.get("SINDDM_BENCH_BUDGET_S", "3000"))
+    budget_s = float(os.environ.get("SINDDM_BENCH_BUDGET_S", "1380"))
 
     def remaining() -> float:
         return budget_s - (time.time() - t_start)

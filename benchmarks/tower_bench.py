@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--policies", nargs="+",
                     default=["views", "dots", "none"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--attn_impl", default="einsum",
+                    choices=["einsum", "skip"],
+                    help="'skip' drops the softmax(qk^T)v math entirely "
+                         "(numerically wrong) — the einsum-vs-skip delta "
+                         "upper-bounds any fused-attention win (VERDICT "
+                         "r4 weak #3 / next #2)")
     args = ap.parse_args()
 
     import dataclasses
@@ -53,6 +59,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         VIT_B_32,
         compute_dtype=None if args.clip_dtype == "float32" else args.clip_dtype,
+        attn_impl=args.attn_impl,
     )
     model, variables = random_clip_params(cfg, seed=0)
 
@@ -112,6 +119,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "vit_tower_fb", "policy": policy,
             "views": B, "res": R, "clip_dtype": args.clip_dtype,
+            "attn_impl": args.attn_impl,
             "ms_per_iter": round(dt * 1000, 1),
             **mfu_fields(flops_fb, dt),
         }))

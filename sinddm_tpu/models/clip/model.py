@@ -45,6 +45,11 @@ class CLIPConfig:
     # fp16 CLIP (clip/model.py:421-442 converts weights to half and keeps
     # LayerNorm fp32). None/'float32' = full fp32.
     compute_dtype: Optional[str] = None
+    # Attention executor experiment knob (benchmarks/tower_bench.py):
+    # 'einsum' is the production path; 'skip' replaces softmax(qk^T)v with
+    # v — NUMERICALLY WRONG, used only to measure the attention math's
+    # total wall share (the upper bound on any fused-attention win).
+    attn_impl: str = "einsum"
 
     @property
     def vision_heads(self) -> int:
@@ -88,6 +93,7 @@ class MultiheadAttention(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -100,11 +106,15 @@ class MultiheadAttention(nn.Module):
             return t.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = map(heads_split, (q, k, v))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
-        if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if self.attn_impl == "skip":
+            # experiment-only upper bound: drop the attention math entirely
+            out = v
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+            if mask is not None:
+                attn = attn + mask
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, W)
         return nn.Dense(W, dtype=self.dtype, name="out_proj")(out)
 
@@ -113,13 +123,14 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         # LayerNorms stay float32 (reference fp32 LayerNorm inside the fp16
         # CLIP, clip/model.py:154-160); Dense layers compute in self.dtype
         x = x + MultiheadAttention(
-            self.width, self.heads, self.dtype, name="attn"
+            self.width, self.heads, self.dtype, self.attn_impl, name="attn"
         )(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x), mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
@@ -133,12 +144,14 @@ class TransformerStack(nn.Module):
     layers: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, self.dtype, name=f"resblocks_{i}"
+                self.width, self.heads, self.dtype, self.attn_impl,
+                name=f"resblocks_{i}"
             )(x, mask)
         return x
 
@@ -213,7 +226,7 @@ class VisionTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         x = TransformerStack(
             cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
-            cfg.vision_dtype, name="transformer",
+            cfg.vision_dtype, cfg.attn_impl, name="transformer",
         )(x)
         x = x.astype(jnp.float32)
         if return_tokens:
