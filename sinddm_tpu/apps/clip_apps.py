@@ -486,7 +486,7 @@ def run_clip_mode(
         ),
     )
     extractor = ClipExtractor(
-        clip_model, clip_vars, n_aug=16,
+        clip_model, clip_vars, n_aug=getattr(args, "n_aug", 16),
         view_chunk=getattr(args, "clip_view_chunk", 8) or None,
         warp_precision=getattr(args, "warp_precision", None),
         warp_impl=getattr(args, "warp_impl", None),

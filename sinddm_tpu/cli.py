@@ -142,6 +142,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'high' is ~28%% faster per warp but bf16-rate "
                         "(guidance-direction impact measured in "
                         "benchmarks/warp_high_guidance_eval.py)")
+    p.add_argument("--n_aug", type=int, default=16,
+                   help="augmented CLIP views per guided image (reference "
+                        "hardcodes 16, main.py:158). Guided wall scales "
+                        "~linearly: 16 -> 0.637 s/step, 8 -> 0.359, "
+                        "4 -> 0.225 on v5e-1; the tiny-CLIP quality proxy "
+                        "keeps ~65%% of the guidance signal at 8 views "
+                        "(benchmarks/n_aug_curve.jsonl), so 16 stays the "
+                        "parity default and 8 is the documented fast mode")
     p.add_argument("--clip_view_chunk", type=int, default=8,
                    help="guidance views encoded+differentiated per "
                         "sequential chunk (0 = all at once). 8 is the "
