@@ -242,3 +242,37 @@ def test_cli_sample_on_mesh(trained):
     )
     outs = list((res / "tiny" / "final_samples").glob("out_s*_sample_*.png"))
     assert outs
+
+
+def test_n_aug_flag_reaches_extractor(trained, tmp_path, monkeypatch):
+    """--n_aug (new in r5, benchmarks/n_aug_curve.jsonl) must reach the
+    ClipExtractor — the knob that trades guided wall for guidance signal
+    (reference hardcodes 16, main.py:158)."""
+    torch = pytest.importorskip("torch")
+    from clip_sd_util import cli_tiny_clip_config, make_torch_clip_state_dict
+    from sinddm_tpu.apps import clip_apps
+
+    sd = make_torch_clip_state_dict(cli_tiny_clip_config())
+    wt = tmp_path / "tiny-vit.pt"
+    torch.save(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, str(wt)
+    )
+
+    seen = {}
+    real = clip_apps.ClipExtractor
+
+    def spy(*a, **kw):
+        seen["n_aug"] = kw.get("n_aug")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(clip_apps, "ClipExtractor", spy)
+    ds, res, common = trained
+    cli.main(
+        common + [
+            "--mode", "clip_content", "--load_milestone", "-1",
+            "--clip_text", "a red tree", "--strength", "0.3",
+            "--fill_factor", "0.3", "--clip_weights", str(wt),
+            "--sample_t_list", "2", "2", "--n_aug", "4",
+        ]
+    )
+    assert seen["n_aug"] == 4
