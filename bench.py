@@ -43,7 +43,7 @@ Env knobs (dev only; the driver runs plain `python bench.py`):
   SINDDM_BENCH_CLIP_SAVE_DOTS=1   keep dot_general outputs as remat
                                   residuals (elementwise-only tower replay).
   SINDDM_BENCH_TRAIN_DTYPE=float32 train-section compute dtype (default
-                                  bfloat16; two-seed quality-neutral).
+                                  bfloat16; three-seed quality-neutral).
   SINDDM_BENCH_CLIP_SEG_LEN=N     max scan steps per guided device call
                                   (default 13; 0 = whole chain in one call,
                                   which the tunneled worker kills at ~4 min).
@@ -227,12 +227,14 @@ def main() -> None:
 
         tmp = tempfile.mkdtemp(prefix="bench_train_")
         try:
-            # bfloat16 training is the headline: quality-neutral across two
-            # seeds (bf16_train_eval.json seed 0: 0.203 vs 0.177;
-            # _seed2.json seed 1: 0.162 vs 0.191 — per-dtype ranges fully
-            # overlap, seed noise > dtype gap) and ~27% faster (15.0 vs
-            # 11.8 steps/s, bench_r4b_prelim). SINDDM_BENCH_TRAIN_DTYPE=
-            # float32 restores the parity mode (still the CLI default).
+            # bfloat16 training is the headline: quality-neutral across
+            # THREE seeds (conv-proxy SIFID bf16 vs fp32 — seed 0:
+            # 0.203/0.177, seed 1: 0.162/0.191, seed 2: 0.122/0.132;
+            # bf16 wins 2/3, means 0.162 vs 0.167, per-dtype ranges fully
+            # overlap, seed noise >> dtype gap; bf16_train_eval*.json)
+            # and ~27% faster (15.0 vs 11.8 steps/s, bench_r4b_prelim).
+            # SINDDM_BENCH_TRAIN_DTYPE=float32 restores the parity mode
+            # (still the CLI default).
             train_dtype = os.environ.get("SINDDM_BENCH_TRAIN_DTYPE",
                                          "bfloat16")
             train_model = SinDDMNet(

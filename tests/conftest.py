@@ -18,11 +18,28 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
 BALLOONS = "/root/reference/datasets/balloons/balloons.png"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compile_state():
+    """Free cached executables between test modules.
+
+    XLA:CPU segfaults inside backend_compile_and_load once enough compiled
+    programs accumulate in one process (observed twice at the ~110th test,
+    compiling an interpret-mode Pallas kernel that passes in isolation).
+    Dropping jit caches per module keeps the live-executable count bounded;
+    the cost is a handful of recompiles of shared helper jits.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")
