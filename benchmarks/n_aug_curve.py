@@ -108,7 +108,13 @@ def main() -> None:
         )["params"]
         clip_model, clip_vars = random_clip_params(tiny_clip_config(), seed=0)
         args.batch = min(args.batch, 2)
-        args.n_augs = [min(a, 4) for a in args.n_augs]
+        # clamp to tiny view counts but keep at least two DISTINCT ones
+        # so the drift-vs-anchor path is exercised too
+        clamped = sorted({max(min(a, 4), 2) for a in args.n_augs},
+                         reverse=True) or [4]
+        if len(clamped) == 1:
+            clamped.append(max(clamped[0] // 2, 1))
+        args.n_augs = clamped
         t_list = [2] * (pyr.n_scales - 1)
         stop = 1
     else:
@@ -135,7 +141,8 @@ def main() -> None:
     print(f"setup {time.time()-t0:.1f}s devices={jax.devices()} "
           f"t_list={t_list} n_guided={n_guided}", file=_sys.stderr)
 
-    # fixed 16-view evaluator (also serves as the n_aug=16 runner)
+    # fixed 16-view endpoint evaluator (the n_aug sweep below builds its
+    # own per-config extractors; this one only scores final images)
     evaluator = ClipExtractor(
         clip_model, clip_vars, n_aug=16, view_chunk=args.view_chunk or None
     )
@@ -220,17 +227,28 @@ def main() -> None:
             warm.append(round(time.time() - t0, 3))
         warm_s = float(np.median(warm)) if warm else None
 
-        # in-run trajectory: per guided scale, first/last mean clip score
+        # in-run trajectory: per guided scale, first/last mean clip score.
+        # The bucketed scan pads every scale to the bucket's max_t and the
+        # padded steps (lax.cond skip) emit clip_score = 0.0, as do the
+        # final stop_guidance steps of the finest scale — trim to each
+        # scale's real guided step count before taking the endpoint.
+        valid_counts = list(t_list[:-1]) + [max(t_list[-1] - stop, 0)]
         traj = []
+        gi = 0
         for a in aux:
             if isinstance(a, dict) and "clip_score" in a:
                 s = np.asarray(a["clip_score"])
                 s = s.reshape(s.shape[0], -1).mean(axis=1)
+                nv = valid_counts[gi] if gi < len(valid_counts) else s.size
+                gi += 1
+                s = s[:nv]
                 if s.size:
                     traj.append([round(float(s[0]), 5),
                                  round(float(s[-1]), 5)])
         drift = None
-        if n_aug == 16:
+        if x16 is None and n_aug == max(args.n_augs):
+            # anchor at the largest view count (16 in the real protocol;
+            # the smoke run's clamped maximum otherwise)
             x16 = xg
         elif x16 is not None:
             drift = {

@@ -49,7 +49,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from sinddm_tpu import build_pyramid, make_schedules
     from sinddm_tpu.apps.sampling import (
@@ -106,8 +105,7 @@ def main() -> None:
             model, params, sched, prevs[s], jax.random.PRNGKey(2), size_hw,
             s, int(t_list[s - 1]), 0, True, 0.0,
         )
-        if s + 1 <= pyr.n_scales - 1 + 1:
-            prevs[s + 1] = x
+        prevs[s + 1] = x
     sync(prevs[max(prevs)])
 
     # identity "denoiser": same reverse scan, zero conv work

@@ -21,6 +21,13 @@ from pathlib import Path
 import numpy as np
 
 
+def _positive_int(v: str) -> int:
+    n = int(v)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("sinddm_tpu")
     p.add_argument("--scope", default="forest", help="training scope name")
@@ -142,12 +149,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "'high' is ~28%% faster per warp but bf16-rate "
                         "(guidance-direction impact measured in "
                         "benchmarks/warp_high_guidance_eval.py)")
-    p.add_argument("--n_aug", type=int, default=16,
+    p.add_argument("--n_aug", type=_positive_int, default=16,
                    help="augmented CLIP views per guided image (reference "
                         "hardcodes 16, main.py:158). Guided wall scales "
                         "~linearly: 16 -> 0.637 s/step, 8 -> 0.359, "
-                        "4 -> 0.225 on v5e-1; the tiny-CLIP quality proxy "
-                        "keeps ~65%% of the guidance signal at 8 views "
+                        "4 -> 0.225 on v5e-1; a fixed-evaluator quality "
+                        "curve (random-init ViT-B/32 tower) keeps ~65%% of "
+                        "the guidance signal at 8 views "
                         "(benchmarks/n_aug_curve.jsonl), so 16 stays the "
                         "parity default and 8 is the documented fast mode")
     p.add_argument("--clip_view_chunk", type=int, default=8,
