@@ -181,6 +181,16 @@ def test_mesh_flag_validation(workspace):
         cli.main(common + ["--mode", "sample", "--mesh_data", "16"])
 
 
+def test_n_aug_flag_rejects_nonpositive():
+    """--n_aug < 1 is rejected at the parser (it would otherwise crash
+    deep inside the extractor's view chunking)."""
+    parser = cli.build_parser()
+    assert parser.parse_args(["--mode", "sample", "--n_aug", "8"]).n_aug == 8
+    for bad in ("0", "-3"):
+        with pytest.raises(SystemExit):
+            parser.parse_args(["--mode", "sample", "--n_aug", bad])
+
+
 def test_cli_harmonization_on_mesh(trained):
     """i2i modes honor the mesh flags too (sharded batch + replicated
     params through image2image)."""
