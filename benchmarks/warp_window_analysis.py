@@ -84,7 +84,7 @@ def main() -> None:
         y0 = jnp.floor(jax.random.uniform(ky) * (h - crop_h + 1))
         x0 = jnp.floor(jax.random.uniform(kx) * (w - crop_w + 1))
         crop = W.crop_resize_matrix(y0, x0, crop_h, crop_w, (ch, cw))
-        m_augs, _ = _augs_matrix_and_color(ka, (ch, cw), 1.0)
+        m_augs, _ = _augs_matrix_and_color(ka, (ch, cw))
         m = crop @ m_augs
 
         src = grid @ m.T

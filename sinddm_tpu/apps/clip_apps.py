@@ -31,12 +31,32 @@ from sinddm_tpu.guidance.clip_extractor import (
     get_augmentations_template,
 )
 from sinddm_tpu.guidance.clip_guidance import (
+    ClipCarry,
     init_clip_carry,
     make_clip_guidance,
     resize_guidance_carry,
 )
 from sinddm_tpu.pyramid import Pyramid
 from sinddm_tpu.schedules import Schedules
+
+
+def _n_guided_steps(
+    s: int, total_t: int, sub_iters: int, n_scales: int,
+    stop_guidance: int, t_min: int,
+) -> int:
+    """Number of scan steps that actually run CLIP guidance at scale s.
+
+    The samplers emit a clip_score row per scan step; gated steps
+    (``stop_guidance`` on the finest scale, models.py:368) and bucketed
+    padding emit zeros. t descends from ``total_t - 1``, so the real
+    scores occupy the first ``n_guided`` rows and the zeros sit in the
+    tail — callers slice ``clip_score[:n_guided]`` to recover exactly
+    the scores the reference records (models.py:419-427).
+    """
+    if sub_iters <= 0:
+        return 0
+    gate = stop_guidance if s == n_scales - 1 else 0
+    return max(total_t - max(t_min, gate), 0)
 
 
 def clip_sampling(
@@ -72,6 +92,14 @@ def clip_sampling(
     sampler (``diffusion/bucketed.py``): one compiled graph serves every
     guided scale with the same sub_iters (vs one compile per scale), at
     the cost of running each scale's compute on the finest-scale canvas.
+    The bucketed walk is the SAME sampling process but takes different
+    noise draws than the per-scale walk (noise is drawn at the static
+    canvas shape, so any valid < canvas scale sees a different field),
+    and guided non-finest scales encode their CLIP views at the static
+    finest-scale frame — per-sample outputs differ between the two
+    samplers while the distributions match (draw-level equality holds,
+    and is tested, exactly where the shapes coincide: single-scale
+    canvas==scale runs and the style modes' finest-scale guidance).
     All four CLIP modes are supported, including clip_style_trans's
     injection start and mesh sharding. ``seg_len`` (bucketed only) bounds
     each device call to that many scan steps — see
@@ -159,6 +187,28 @@ def clip_sampling(
             collect_aux=aux, collect_interm=collect_interm,
             sharding=sharding, precompile=precompile,
         )
+    # annotate each guided aux with its real guided-step count so
+    # consumers (run_clip_mode's clip_score trace) can drop gated zeros
+    t_resolved = (
+        list(custom_t_list) if custom_t_list is not None
+        else list(sched.num_timesteps_ideal[1:])
+    )
+    scale_ids = list(range(n)) if start_noise else [n - 2, n - 1]
+    for s_id, a in zip(scale_ids, aux):
+        if isinstance(a, dict) and "clip_score" in a:
+            total_s = (
+                int(sched.num_timesteps) if s_id == 0
+                else int(t_resolved[s_id - 1])
+            )
+            t_min_s = (
+                int(sched.num_timesteps_ideal[s_id + 1])
+                if (sample_limited_t and s_id < n - 1)
+                else 0
+            )
+            a["n_guided"] = _n_guided_steps(
+                s_id, total_s, int(guidance_sub_iters[s_id]), n,
+                stop_guidance, t_min_s,
+            )
     return outputs, aux
 
 
@@ -238,8 +288,15 @@ def clip_sampling_bucketed(
         replicated = NamedSharding(sharding.mesh, PartitionSpec())
         params = jax.device_put(params, replicated)
         extractor_vars = jax.device_put(extractor.variables, replicated)
+        # under a multi-host mesh EVERY host-produced jit input must be a
+        # committed global array (same invariant as sample_scales): keys,
+        # the guidance carry, text embeddings and the small size/step
+        # scalars below all go through _stage
+        _stage = lambda x: jax.device_put(x, replicated)  # noqa: E731
     else:
         extractor_vars = extractor.variables
+        _stage = lambda x: x  # noqa: E731
+    embeds_hr = _stage(embeds_hr)
 
     outputs: List[jnp.ndarray]
     aux: List[Any]
@@ -257,14 +314,21 @@ def clip_sampling_bucketed(
                 stop_guidance=stop_guidance,
             )
         x0, carry0, aux0 = jit_sample_scale0(
-            model, params, sched, k0, (sample_batch_size, h0, w0, 3), 0,
+            model, params, sched, _stage(k0),
+            (sample_batch_size, h0, w0, 3), 0,
             t_min0, omega, guidance_fn=gfn0,
             guidance_carry=(
-                init_clip_carry(sample_batch_size, (h0, w0)) if gfn0 else None
+                _stage(init_clip_carry(sample_batch_size, (h0, w0)))
+                if gfn0 else None
             ),
             guidance_params=(extractor_vars if gfn0 else None),
             sharding=sharding, collect_interm=collect_interm,
         )
+        if isinstance(aux0, dict) and "clip_score" in aux0:
+            aux0["n_guided"] = _n_guided_steps(
+                0, int(sched.num_timesteps), int(guidance_sub_iters[0]),
+                n, stop_guidance, t_min0,
+            )
         outputs = [x0]
         aux = [aux0]
         prev_canvas = place_on_canvas(x0, canvas)
@@ -289,9 +353,21 @@ def clip_sampling_bucketed(
         via_scales = [n - 1]
     del pyramid  # all sizes below come from the scale_mul-adjusted list
 
-    # mask created at scale 0 is dropped (reference models.py:533-534);
-    # the bucketed carry always lives on the canvas
-    carry = init_clip_carry(sample_batch_size, canvas)
+    # carry entering the via walk: if scale 0 ran guided, lift its carry
+    # onto the canvas (valid region (h0, w0) top-left; jit_bucketed_scale
+    # then resizes valid->valid at each scale entry exactly like the
+    # per-scale walk — reference models.py:528-532 resizes AND KEEPS both
+    # mask and x_recon_prev into every s > 0). Otherwise a fresh zero
+    # carry on the canvas.
+    if start_noise and int(guidance_sub_iters[0]) > 0 and carry0 is not None:
+        carry = ClipCarry(
+            mask=place_on_canvas(carry0.mask, canvas),
+            x_recon_prev=place_on_canvas(carry0.x_recon_prev, canvas),
+            has_mask=carry0.has_mask,
+        )
+    else:
+        carry = init_clip_carry(sample_batch_size, canvas)
+    carry = _stage(carry)
     if sharding is not None:
         prev_canvas = jax.device_put(prev_canvas, sharding)
 
@@ -299,10 +375,11 @@ def clip_sampling_bucketed(
         seg_len = None
     n_segs = 1 if seg_len is None else -(-max_t // seg_len)
 
+    prev_valid = _stage(prev_valid)
     for s in via_scales:
         hs, ws = sizes[s]
         sub_iters = int(guidance_sub_iters[s])
-        cur_valid = jnp.asarray([hs, ws], jnp.int32)
+        cur_valid = _stage(jnp.asarray([hs, ws], jnp.int32))
         t_min_s = (
             int(sched.num_timesteps_ideal[s + 1])
             if (sample_limited_t and s < n - 1)
@@ -310,6 +387,7 @@ def clip_sampling_bucketed(
         )
         total_t = int(custom_t_list[s - 1])
         key, sub = jax.random.split(key)
+        sub = _stage(sub)
         common = dict(
             extractor=extractor, max_t=max_t, sub_iters=sub_iters,
             n_scales=n, frame_hw=frame_hw, strength=strength,
@@ -318,12 +396,15 @@ def clip_sampling_bucketed(
             sharding=sharding, collect_interm=collect_interm,
         )
         clip_params = extractor_vars if sub_iters > 0 else None
+        s_arr = _stage(jnp.asarray(s, jnp.int32))
+        total_arr = _stage(jnp.asarray(total_t))
+        t_min_arr = _stage(jnp.asarray(t_min_s))
         if seg_len is None:
             prev_canvas, carry, scores, _, frames = jit_bucketed_scale(
                 model, params, sched, prev_canvas, carry, sub,
-                prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
-                jnp.asarray(total_t), embeds_hr,
-                clip_params, None, None, jnp.asarray(t_min_s), **common,
+                prev_valid, cur_valid, s_arr,
+                total_arr, embeds_hr,
+                clip_params, None, None, t_min_arr, **common,
             )
         else:
             # bounded-duration device calls sharing one executable: thread
@@ -334,11 +415,11 @@ def clip_sampling_bucketed(
             for gi in range(n_segs):
                 x_seg, carry, sc, seg_key, fr = jit_bucketed_scale(
                     model, params, sched, prev_canvas, carry, seg_key,
-                    prev_valid, cur_valid, jnp.asarray(s, jnp.int32),
-                    jnp.asarray(total_t), embeds_hr,
+                    prev_valid, cur_valid, s_arr,
+                    total_arr, embeds_hr,
                     clip_params, x_seg,
-                    jnp.asarray(gi * seg_len, jnp.int32),
-                    jnp.asarray(t_min_s), **common,
+                    _stage(jnp.asarray(gi * seg_len, jnp.int32)),
+                    t_min_arr, **common,
                 )
                 parts.append(sc)
                 if fr is not None:
@@ -346,7 +427,12 @@ def clip_sampling_bucketed(
             prev_canvas = x_seg
             scores = jnp.concatenate(parts, axis=0)[:max_t]
             frames = jnp.concatenate(fparts, axis=0) if fparts else None
-        aux_s = {"clip_score": scores}
+        aux_s = {
+            "clip_score": scores,
+            "n_guided": _n_guided_steps(
+                s, total_t, sub_iters, n, stop_guidance, t_min_s
+            ),
+        }
         if frames is not None:
             # active steps are j = 0 .. total_t-1-t_min (t descending);
             # crop to the valid region like the scale output itself
@@ -602,15 +688,19 @@ def run_clip_mode(
         save_image(
             np.asarray((out + 1) * 0.5), out_dir / f"{desc}_s{i}.png"
         )
-    # clip-score trace (reference models.py:421-427 plots per step)
-    scores = np.concatenate(
-        [
-            np.asarray(a["clip_score"]).reshape(-1)
-            for a in aux
-            if isinstance(a, dict) and "clip_score" in a
-        ]
-        or [np.zeros(1)]
-    )
+    # clip-score trace (reference models.py:421-427 records only the
+    # actually-computed scores; our scans emit zero rows for gated /
+    # bucket-padded steps — slice each scale to its annotated count)
+    parts = []
+    for a in aux:
+        if isinstance(a, dict) and "clip_score" in a:
+            sc = np.asarray(a["clip_score"])
+            nv = a.get("n_guided")
+            if nv is not None:
+                sc = sc[: int(nv)]
+            if sc.size:
+                parts.append(sc.reshape(-1))
+    scores = np.concatenate(parts or [np.zeros(1)])
     try:
         import matplotlib
 

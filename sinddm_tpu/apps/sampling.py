@@ -222,7 +222,11 @@ def sample_scales(
             return None, carry
         mkey = (s, size_hw)
         if mkey not in _memo:
-            _memo[mkey] = guidance_factory(s, size_hw)
+            fn0, c0 = guidance_factory(s, size_hw)
+            # the factory's initial carry is host-produced — stage it like
+            # the keys (multi-host invariant above); carried-through
+            # values are committed jit outputs already
+            _memo[mkey] = (fn0, _stage(c0) if c0 is not None else None)
         fn, init_carry = _memo[mkey]
         return fn, (carry if carry is not None else init_carry)
 

@@ -180,7 +180,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "graph on the finest-scale canvas (all four CLIP "
                         "modes, incl. style-trans injection, under any "
                         "mesh; cuts guided cold-start compiles from "
-                        "n_scales to 2)")
+                        "n_scales to 2). Same sampling process but "
+                        "different noise draws than the per-scale graphs "
+                        "(noise is drawn at the canvas shape), and "
+                        "non-finest scales encode CLIP views at the "
+                        "finest-scale frame — per-sample outputs differ, "
+                        "distributions match")
     p.add_argument("--guidance_seg_len", type=int, default=0,
                    help="with --bucketed_guidance: cap each device call "
                         "at N denoise steps (0 = whole scale per call); "

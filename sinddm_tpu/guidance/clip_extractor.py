@@ -83,9 +83,7 @@ def resize_output_size(
     return nh, nw
 
 
-def _augs_matrix_and_color(
-    key: jax.Array, hw: Tuple[int, int], fill: float
-):
+def _augs_matrix_and_color(key: jax.Array, hw: Tuple[int, int]):
     """Random draws for the shared aug pipeline of one view.
 
     Returns (out->in homography over the view frame, color_fn).
@@ -193,7 +191,7 @@ def augment_views_subset(
         crop = W.crop_resize_matrix(y0, x0, crop_h, crop_w, (ch, cw))
 
         m_crop = jnp.where(i == 0, full, crop)
-        m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw), fill)
+        m_augs, color_fn = _augs_matrix_and_color(ka, (ch, cw))
         m_total = m_crop @ m_augs
         view = W.warp_homography(
             img, m_total, (ch, cw), fill=fill, mm_adjoint=mm_adjoint,

@@ -58,8 +58,9 @@ def resize_guidance_carry(
     ``drop_mask=True`` mirrors the reference discarding a mask created at
     scale 0 ("usually too noisy", models.py:533-534).
     """
+    b = carry.mask.shape[0]
     return ClipCarry(
-        mask=jnp.zeros_like(resize_bilinear(carry.mask, size_hw))
+        mask=jnp.zeros((b, *size_hw, 1), carry.mask.dtype)
         if drop_mask
         else resize_bilinear(carry.mask, size_hw),
         x_recon_prev=resize_bilinear(carry.x_recon_prev, size_hw),

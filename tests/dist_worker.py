@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--port", default="")
     ap.add_argument("--local_devices", type=int, default=0,
                     help="virtual CPU devices per process (default 8/nproc)")
+    ap.add_argument("--guided", action="store_true",
+                    help="run the CLIP-guided samplers (per-scale AND "
+                         "bucketed, tiny CLIP) over the global mesh "
+                         "instead of the trainer flow")
     args = ap.parse_args()
 
     n_local = args.local_devices or 8 // args.nproc
@@ -62,6 +66,10 @@ def main() -> None:
     from sinddm_tpu.models import SinDDMNet
     from sinddm_tpu.parallel.mesh import batch_sharding, make_mesh
     from sinddm_tpu.training import MultiscaleTrainer
+
+    if args.guided:
+        _run_guided(args)
+        return
 
     mesh = make_mesh(spatial=2)  # ('data'=4, 'spatial'=2) global mesh
     pyr = build_pyramid(args.img, save_to=None)
@@ -99,6 +107,67 @@ def main() -> None:
             step=int(tr.state.step),
         )
     print(f"worker pid={args.pid} done", file=sys.stderr)
+
+
+def _run_guided(args) -> None:
+    """CLIP-guided equality payload: per-scale AND bucketed guided
+    sampling (tiny CLIP, scale 0 guided too — exercising the multi-host
+    staging of keys/carries/embeds and the scale-0 carry lift) over a
+    ('data'=8,) global mesh. Same keys + same global mesh ==> the 2-process
+    layout must reproduce the single-process run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sinddm_tpu import build_pyramid, make_schedules
+    from sinddm_tpu.apps.clip_apps import clip_sampling
+    from sinddm_tpu.guidance.clip_extractor import ClipExtractor
+    from sinddm_tpu.models import SinDDMNet
+    from sinddm_tpu.models.clip.convert import random_clip_params
+    from sinddm_tpu.models.clip.model import tiny_clip_config
+    from sinddm_tpu.parallel import distributed as dist
+    from sinddm_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(spatial=1)  # ('data'=8,) global mesh
+    shd = batch_sharding(mesh)
+    pyr = build_pyramid(args.img, save_to=None, auto_scale=50000)
+    sched = make_schedules(
+        timesteps=6, scale_losses=pyr.rescale_losses, n_scales=pyr.n_scales
+    )
+    model = SinDDMNet(dim=8)
+    h0, w0 = pyr.sizes_hw[0]
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h0, w0, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(0.0),
+    )["params"]
+    clip_model, clip_vars = random_clip_params(tiny_clip_config(), seed=0)
+    extractor = ClipExtractor(clip_model, clip_vars, n_aug=2)
+    n = pyr.n_scales
+    kw = dict(
+        text_input="a tree", strength=0.2, sample_batch_size=8,
+        custom_t_list=[3] * (n - 1), guidance_sub_iters=[1] * n,
+        quantile=0.5, llambda=0.1, stop_guidance=1, sharding=shd,
+    )
+    outs_ps, aux_ps = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(11), **kw
+    )
+    outs_b, aux_b = clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(11),
+        bucketed=True, **kw,
+    )
+    ps = dist.fetch(outs_ps[-1])
+    bk = dist.fetch(outs_b[-1])
+    if dist.is_primary():
+        np.savez(
+            args.out,
+            per_scale=ps,
+            bucketed=bk,
+            scores_ps=np.asarray(aux_ps[-1]["clip_score"]),
+            scores_b=np.asarray(aux_b[-1]["clip_score"]),
+        )
+    import sys as _s
+
+    print(f"guided worker pid={args.pid} done", file=_s.stderr)
 
 
 if __name__ == "__main__":

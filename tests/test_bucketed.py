@@ -313,6 +313,58 @@ def test_bucketed_style_trans_injection_matches_per_scale(guided_setup):
     np.testing.assert_allclose(s_ref, s_b, atol=1e-3)
 
 
+def test_bucketed_scale0_guided_carry_enters_via_walk(
+    guided_setup, monkeypatch
+):
+    """When scale 0 itself runs guided (guidance_sub_iters[0] > 0) its
+    carry — the one-time sparsification mask and x_recon_prev — must flow
+    into the via walk: the reference resizes and KEEPS both into every
+    s > 0 (models.py:528-532). A round-5 review found the bucketed path
+    silently re-initialising the carry after scale 0.
+
+    Full-walk output equality with the per-scale sampler is NOT the right
+    oracle here: the bucketed sampler draws its per-step noise at the
+    static canvas shape, so any valid < canvas scale takes different (but
+    same-distribution) draws by construction. Instead this captures the
+    carry the first via scale actually receives and checks it is the
+    scale-0 carry lifted onto the canvas — not a fresh zero carry."""
+    from sinddm_tpu.apps import clip_apps
+    from sinddm_tpu.diffusion import bucketed as bucketed_mod
+    from sinddm_tpu.guidance.clip_guidance import ClipCarry
+
+    model, params, sched, pyr, extractor = guided_setup
+    n = pyr.n_scales
+    h0, w0 = pyr.sizes_hw[0]
+    captured = []
+    real = bucketed_mod.jit_bucketed_scale
+
+    def spy(model_, params_, sched_, prev_canvas, carry, *a, **k):
+        captured.append(jax.tree.map(np.asarray, carry))
+        return real(model_, params_, sched_, prev_canvas, carry, *a, **k)
+
+    monkeypatch.setattr(bucketed_mod, "jit_bucketed_scale", spy)
+    outs, aux = clip_apps.clip_sampling(
+        model, params, sched, pyr, extractor, jax.random.PRNGKey(3),
+        text_input="a tree", strength=0.2, sample_batch_size=2,
+        custom_t_list=[2] * (n - 1), guidance_sub_iters=[1] * n,
+        quantile=0.5, llambda=0.1, stop_guidance=1, bucketed=True,
+    )
+    assert np.isfinite(np.asarray(outs[-1])).all()
+    assert len(captured) == n - 1
+    first = ClipCarry(*captured[0])
+    # scale 0 ran guided with quantile 0.5 -> it created a mask; the via
+    # walk must receive has_mask=True with the mask/x_recon_prev occupying
+    # the top-left (h0, w0) valid region of the canvas and zeros outside
+    assert bool(first.has_mask), "scale-0 carry was dropped"
+    valid_mask = first.mask[:, :h0, :w0, :]
+    assert valid_mask.max() > 0.5, "sparsification mask did not arrive"
+    assert abs(first.mask[:, h0:, :, :]).max() == 0
+    assert abs(first.mask[:, :, w0:, :]).max() == 0
+    assert abs(first.x_recon_prev[:, :h0, :w0, :]).max() > 0
+    # later via scales thread the in-jit-resized carry (still has_mask)
+    assert all(bool(ClipCarry(*c).has_mask) for c in captured[1:])
+
+
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
 )
